@@ -1,0 +1,130 @@
+"""Bitstream container: length-prefixed framing + per-fiber zlib coding.
+
+Byte-format compatible with the reference container
+(`lrf/compression/utils.py:246-490` in pashtari/lrf):
+
+- `combine_bytes` left-folds payloads as
+  ``len(p1) as 4-byte big-endian || p1 || p2``; `separate_bytes` peels in
+  reverse.
+- metadata is a UTF-8 JSON dict.
+- 2-D tensors are split into columns ("fibers"); each fiber's raw bytes are
+  zlib-compressed at level 9 separately, with inner metadata
+  ``{"num_fibers", "mode", "dtype"}``. N-D tensors are whole-buffer
+  zlib level 9 with ``{"shape", "dtype"}`` metadata.
+
+This layer is host-side by design (DEFLATE is inherently serial); the hot
+per-column loop can be offloaded to the native C++ coder in
+`lrf_tpu/native` (thread-pooled zlib) when built, with identical bytes.
+Streams produced here decode with the reference decoder and vice versa.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import zlib
+from typing import Sequence
+
+import numpy as np
+
+from lrf_tpu.native import fibercodec as _native
+
+
+def _combine_two(payload1: bytes, payload2: bytes) -> bytes:
+    if len(payload1) > 0xFFFFFFFF:
+        raise ValueError("payload1 is too large to encode.")
+    return len(payload1).to_bytes(4, byteorder="big") + payload1 + payload2
+
+
+def _separate_two(combined: bytes) -> tuple[bytes, bytes]:
+    if len(combined) < 4:
+        raise ValueError("Combined data is too short to decode.")
+    n = int.from_bytes(combined[:4], byteorder="big")
+    return combined[4 : 4 + n], combined[4 + n :]
+
+
+def combine_bytes(payloads: Sequence[bytes]) -> bytes:
+    """Left-fold payloads into one framed stream (`compression/utils.py:290`)."""
+    return functools.reduce(_combine_two, payloads)
+
+
+def separate_bytes(combined: bytes, num_payloads: int = 2) -> tuple[bytes, ...]:
+    """Split a framed stream back into payloads (`compression/utils.py:303`)."""
+    payloads: list[bytes] = []
+    head = combined
+    for _ in range(num_payloads - 1):
+        head, tail = _separate_two(head)
+        payloads.insert(0, tail)
+    payloads.insert(0, head)
+    return tuple(payloads)
+
+
+def dict_to_bytes(d: dict) -> bytes:
+    return json.dumps(d).encode("utf-8")
+
+
+def bytes_to_dict(b: bytes) -> dict:
+    return json.loads(b.decode("utf-8"))
+
+
+def encode_matrix(matrix: np.ndarray, mode: str = "col") -> bytes:
+    """Per-fiber zlib-9 coding of a 2-D array (`compression/utils.py:354`)."""
+    assert matrix.ndim == 2, "'matrix' must be 2-D."
+    assert mode in ("col", "row"), "'mode' must be 'col' or 'row'."
+    matrix = np.ascontiguousarray(matrix)
+
+    num_fibers = matrix.shape[1] if mode == "col" else matrix.shape[0]
+    encoded_fibers = _native.compress_fibers(matrix, mode)
+    if encoded_fibers is None:  # native coder unavailable: pure-Python path
+        if mode == "col":
+            fibers = [matrix[:, i : i + 1] for i in range(num_fibers)]
+        else:
+            fibers = [matrix[i : i + 1, :] for i in range(num_fibers)]
+        encoded_fibers = [
+            zlib.compress(np.ascontiguousarray(f).tobytes(), 9) for f in fibers
+        ]
+
+    metadata = {
+        "num_fibers": num_fibers,
+        "mode": mode,
+        "dtype": matrix.dtype.name,
+    }
+    return combine_bytes([dict_to_bytes(metadata), combine_bytes(encoded_fibers)])
+
+
+def decode_matrix(encoded_matrix: bytes) -> np.ndarray:
+    """Inverse of `encode_matrix` (`compression/utils.py:393`)."""
+    encoded_metadata, encoded_fibers = separate_bytes(encoded_matrix)
+    metadata = bytes_to_dict(encoded_metadata)
+    num_fibers = metadata["num_fibers"]
+    mode = metadata["mode"]
+    dtype = np.dtype(metadata["dtype"])
+
+    fiber_blobs = separate_bytes(encoded_fibers, num_payloads=num_fibers)
+    decoded = _native.decompress_fibers(fiber_blobs, dtype, mode)
+    if decoded is not None:
+        return decoded
+    fibers = [np.frombuffer(zlib.decompress(blob), dtype=dtype) for blob in fiber_blobs]
+    axis = 1 if mode == "col" else 0
+    return np.stack(fibers, axis=axis)
+
+
+def encode_tensor(tensor: np.ndarray) -> bytes:
+    """2-D -> `encode_matrix`; N-D -> whole-buffer zlib (`compression/utils.py:429`)."""
+    tensor = np.asarray(tensor)
+    if tensor.ndim == 2:
+        return encode_matrix(tensor)
+    payload = zlib.compress(np.ascontiguousarray(tensor).tobytes(), 9)
+    metadata = {"shape": list(tensor.shape), "dtype": tensor.dtype.name}
+    return combine_bytes([dict_to_bytes(metadata), payload])
+
+
+def decode_tensor(encoded_tensor: bytes) -> np.ndarray:
+    """Inverse of `encode_tensor` (`compression/utils.py:458`)."""
+    encoded_metadata, payload = separate_bytes(encoded_tensor)
+    metadata = bytes_to_dict(encoded_metadata)
+    if "num_fibers" in metadata:
+        return decode_matrix(encoded_tensor)
+    shape = metadata["shape"]
+    dtype = np.dtype(metadata["dtype"])
+    return np.frombuffer(zlib.decompress(payload), dtype=dtype).reshape(shape)

@@ -1,0 +1,127 @@
+"""ctypes bindings for the native (C++) fiber codec.
+
+The reference compresses every factor column with a separate Python-level
+zlib call (`lrf/compression/utils.py:374-378` in pashtari/lrf). That loop is
+pure serialization overhead; here it is offloaded to `libfibercodec.so`
+(built from `fibercodec.cpp`, see Makefile), which splits the matrix into
+fibers and runs zlib level-9 per fiber on a C++ thread pool. Output bytes are
+identical to the Python path (same zlib), verified in tests.
+
+If the shared library has not been built, `compress_fibers`/
+`decompress_fibers` return None and callers fall back to pure Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libfibercodec.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    # int compress_fibers(const uint8_t* data, int64_t num_fibers,
+    #                     int64_t fiber_bytes, int level,
+    #                     uint8_t* out, int64_t out_capacity_per_fiber,
+    #                     int64_t* out_lens)
+    lib.lrf_compress_fibers.restype = ctypes.c_int
+    lib.lrf_compress_fibers.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    # int decompress_fibers(const uint8_t* blobs, const int64_t* blob_lens,
+    #                       int64_t num_fibers, uint8_t* out,
+    #                       int64_t fiber_bytes)
+    lib.lrf_decompress_fibers.restype = ctypes.c_int
+    lib.lrf_decompress_fibers.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def compress_fibers(matrix: np.ndarray, mode: str) -> Optional[list[bytes]]:
+    """zlib-9 compress each fiber (column/row) of a 2-D array. None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    # Lay fibers out contiguously: for 'col' mode that is the transpose.
+    fibers_arr = matrix.T if mode == "col" else matrix
+    fibers_arr = np.ascontiguousarray(fibers_arr)
+    num_fibers = fibers_arr.shape[0]
+    fiber_bytes = fibers_arr.shape[1] * fibers_arr.dtype.itemsize
+    if num_fibers == 0:
+        return []
+    # zlib compressBound-ish capacity per fiber
+    cap = fiber_bytes + fiber_bytes // 1000 + 64
+    out = np.empty(num_fibers * cap, dtype=np.uint8)
+    out_lens = np.empty(num_fibers, dtype=np.int64)
+    rc = lib.lrf_compress_fibers(
+        fibers_arr.tobytes(),
+        num_fibers,
+        fiber_bytes,
+        9,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return [
+        out[i * cap : i * cap + out_lens[i]].tobytes() for i in range(num_fibers)
+    ]
+
+
+def decompress_fibers(
+    blobs: Sequence[bytes], dtype: np.dtype, mode: str
+) -> Optional[np.ndarray]:
+    """Inverse of `compress_fibers`, restacking to the 2-D array. None if no lib."""
+    lib = _load()
+    if lib is None or len(blobs) == 0:
+        return None
+    blob_lens = np.asarray([len(b) for b in blobs], dtype=np.int64)
+    joined = b"".join(blobs)
+    num_fibers = len(blobs)
+    # All fibers in a matrix have equal length; decode first to learn it.
+    import zlib as _zlib
+
+    first = np.frombuffer(_zlib.decompress(blobs[0]), dtype=dtype)
+    fiber_bytes = first.nbytes
+    out = np.empty(num_fibers * fiber_bytes, dtype=np.uint8)
+    rc = lib.lrf_decompress_fibers(
+        joined,
+        blob_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_fibers,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        fiber_bytes,
+    )
+    if rc != 0:
+        return None
+    fibers = out.view(dtype).reshape(num_fibers, -1)
+    return fibers.T.copy() if mode == "col" else fibers.copy()

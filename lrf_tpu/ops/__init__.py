@@ -1,0 +1,25 @@
+"""Jittable numeric ops: transforms, resampling, factorization kernels."""
+
+from lrf_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
+from lrf_tpu.ops.resample import (
+    area_resize,
+    nearest_resize,
+    chroma_downsample,
+    chroma_upsample,
+    scaled_size,
+)
+from lrf_tpu.ops.pad import pad_image, unpad_image, pad_amounts
+from lrf_tpu.ops.patch import patchify, depatchify, patchify_uv, depatchify_uv
+from lrf_tpu.ops.quantize import quantize, dequantize, to_dtype, np_dequantize
+from lrf_tpu.ops.common import relative_error, safe_divide, soft_thresholding
+from lrf_tpu.ops.svd import truncated_svd, svd_balanced_factors
+from lrf_tpu.ops.bcd import (
+    qmf_decompose,
+    qmf_reconstruct,
+    qmf_loss,
+    svd_init,
+    bcd_sweep,
+    update_columns,
+    update_w,
+    make_project,
+)
