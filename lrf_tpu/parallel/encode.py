@@ -1,0 +1,162 @@
+"""Sharded batch encode: data-parallel images, patch-parallel factorization.
+
+New TPU-native capability (the reference is strictly single-device; SURVEY.md
+§2.5). A batch of same-size images is encoded by ONE jitted program laid out
+over a `(data, patch)` mesh:
+
+- the batch dim is sharded over ``data`` (pure data parallelism, no
+  communication);
+- inside each image, the per-channel patch-stack matrix `(B, M, N)` carries a
+  sharding constraint splitting M over ``patch``; the BCD sweep's
+  ``X^T U`` / ``U^T U`` contractions then reduce over a sharded axis and XLA
+  inserts `psum`-style collectives over ICI automatically (the
+  "annotate-shardings, let XLA insert collectives" recipe).
+
+Serialization stays on host: factors are fetched per image (already int8,
+tiny) and framed with the byte-exact container.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lrf_tpu.models.container import combine_bytes, dict_to_bytes, encode_tensor
+from lrf_tpu.models.qmf import _patched_mat_size, _rank_from_quality
+from lrf_tpu.ops.bcd import qmf_decompose
+from lrf_tpu.ops.color import rgb_to_ycbcr
+from lrf_tpu.ops.pad import pad_amounts, pad_image
+from lrf_tpu.ops.patch import patchify
+from lrf_tpu.ops.resample import chroma_downsample, scaled_size
+
+__all__ = ["sharded_qmf_encode_batch", "build_sharded_encoder"]
+
+
+@lru_cache(maxsize=None)
+def _cached_sharded_encoder(
+    mesh: Mesh,
+    size: tuple[int, int],
+    ranks: tuple[int, int, int],
+    scale_factor: tuple[float, float],
+    patch_size: tuple[int, int],
+    bounds: tuple[float, float],
+    num_iters: int,
+    dtype_name: str,
+):
+    dtype = jnp.dtype(dtype_name)
+    shard_patches = mesh.shape["patch"] > 1
+
+    def encode(images: jnp.ndarray):
+        """images: (B, 3, H, W) sharded over 'data' on B."""
+        ycbcr = rgb_to_ycbcr(images.astype(jnp.float32))
+        channels = chroma_downsample(ycbcr, scale_factor)
+        factors = []
+        for channel, rank in zip(channels, ranks):
+            x = pad_image(channel, patch_size)
+            xm = patchify(x, patch_size)  # (B, M, N)
+            if shard_patches:
+                xm = jax.lax.with_sharding_constraint(
+                    xm, NamedSharding(mesh, P("data", "patch", None))
+                )
+            u, v, _ = qmf_decompose(
+                xm, rank=rank, num_iters=num_iters, bounds=bounds, factor=(0, 1)
+            )
+            factors.append(u.astype(dtype))
+            factors.append(v.astype(dtype))
+        return tuple(factors)
+
+    in_sharding = NamedSharding(mesh, P("data"))
+    out_shardings = tuple([NamedSharding(mesh, P("data"))] * 6)
+    return jax.jit(encode, in_shardings=(in_sharding,), out_shardings=out_shardings)
+
+
+def build_sharded_encoder(
+    mesh: Mesh,
+    image_size: tuple[int, int],
+    quality: Optional[float | tuple] = None,
+    rank: Optional[int | tuple] = None,
+    scale_factor: tuple[float, float] = (0.5, 0.5),
+    patch_size: tuple[int, int] = (8, 8),
+    bounds: tuple[float, float] = (-16, 15),
+    num_iters: int = 10,
+    dtype=np.int8,
+):
+    """Compile (cached) a sharded YCbCr-patch batch encoder for one config.
+
+    Returns `(encode_fn, metadata)`: `encode_fn(images)` maps a sharded
+    `(B, 3, H, W)` batch to 6 per-channel factor arrays; `metadata` is the
+    (shared) stream metadata dict for serialization.
+    """
+    size = tuple(image_size)
+    if not isinstance(rank, Iterable):
+        rank = (None,) * 3 if rank is None else (rank, max(rank // 2, 1), max(rank // 2, 1))
+    if not isinstance(quality, Iterable):
+        quality = (None,) * 3 if quality is None else (quality, quality / 2, quality / 2)
+
+    chroma_size = scaled_size(size, scale_factor)
+    ch_sizes = (size, chroma_size, chroma_size)
+    ranks = tuple(
+        r
+        if r is not None
+        else _rank_from_quality(_patched_mat_size(s, patch_size), q)
+        for r, q, s in zip(rank, quality, ch_sizes)
+    )
+
+    padded_sizes = []
+    for ch_size in ch_sizes:
+        t, b, l, r = pad_amounts(ch_size, patch_size)
+        padded_sizes.append([ch_size[0] + t + b, ch_size[1] + l + r])
+
+    metadata = {
+        "dtype": "uint8",
+        "color space": "YCbCr",
+        "patch": True,
+        "bounds": list(bounds),
+        "patch size": list(patch_size),
+        "original size": [list(s) for s in ch_sizes],
+        "padded size": padded_sizes,
+        "rank": list(ranks),
+    }
+    fn = _cached_sharded_encoder(
+        mesh,
+        size,
+        ranks,
+        tuple(scale_factor),
+        tuple(patch_size),
+        tuple(bounds),
+        num_iters,
+        np.dtype(dtype).name,
+    )
+    return fn, metadata
+
+
+def sharded_qmf_encode_batch(
+    images,
+    mesh: Mesh,
+    quality: Optional[float | tuple] = None,
+    rank: Optional[int | tuple] = None,
+    **config,
+) -> list[bytes]:
+    """Encode a `(B, 3, H, W)` uint8 batch into per-image QMF byte streams.
+
+    Streams are identical to what per-image `qmf_encode` produces (and thus
+    decode with the reference decoder). Batch order is preserved.
+    """
+    images = jnp.asarray(images)
+    b = images.shape[0]
+    size = (int(images.shape[-2]), int(images.shape[-1]))
+    fn, metadata = build_sharded_encoder(mesh, size, quality=quality, rank=rank, **config)
+    images = jax.device_put(images, NamedSharding(mesh, P("data")))
+    factors = fn(images)
+    factors = [np.asarray(f) for f in factors]  # (B, ., R) each
+    encoded_metadata = dict_to_bytes(metadata)
+    streams = []
+    for i in range(b):
+        encoded_factors = combine_bytes([encode_tensor(f[i]) for f in factors])
+        streams.append(combine_bytes([encoded_metadata, encoded_factors]))
+    return streams

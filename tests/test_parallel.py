@@ -1,0 +1,107 @@
+"""Distributed-layer tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lrf_tpu.models.qmf import qmf_decode, qmf_encode
+from lrf_tpu.parallel.distributed import allgather_bytes, distributed_encode, shard_range
+from lrf_tpu.parallel.encode import sharded_qmf_encode_batch
+from lrf_tpu.parallel.mesh import make_mesh
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return RNG.integers(0, 256, (8, 3, 48, 64)).astype(np.uint8)
+
+
+class TestShardedEncode:
+    def test_data_parallel_equivalent_to_single_device(self, batch):
+        # Batched and single-image encodes are *different XLA programs*, so
+        # float accumulation can differ at ulp level and flip an occasional
+        # BCD round(); the contract is identical quality and, in the common
+        # case, identical bytes.
+        from lrf_tpu.utils.metrics import psnr
+
+        mesh = make_mesh(data=8, patch=1)
+        streams = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=3)
+        assert len(streams) == len(batch)
+        n_identical = 0
+        for i in range(len(batch)):
+            single = qmf_encode(batch[i], quality=20, num_iters=3)
+            if streams[i] == single:
+                n_identical += 1
+            else:
+                p_single = float(psnr(batch[i], qmf_decode(single)))
+                p_shard = float(psnr(batch[i], qmf_decode(streams[i])))
+                assert abs(p_single - p_shard) < 0.2, (i, p_single, p_shard)
+        assert n_identical >= len(batch) - 2, f"only {n_identical} byte-identical"
+
+    def test_sharded_encode_deterministic(self, batch):
+        # Same program + same inputs -> identical bytes, always.
+        mesh = make_mesh(data=8, patch=1)
+        s1 = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=3)
+        s2 = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=3)
+        assert s1 == s2
+
+    def test_patch_sharded_decode_equivalent(self, batch):
+        # Sharding the patch-stack rows changes float accumulation order in
+        # the cross-shard X^T U / U^T U reductions, which can flip a round()
+        # in BCD for a handful of entries — streams are then different-but-
+        # valid encodings. Require decode-level equivalence instead.
+        from lrf_tpu.utils.metrics import psnr
+
+        mesh = make_mesh(data=4, patch=2)
+        streams = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=3)
+        for i in (0, 7):
+            single_dec = qmf_decode(qmf_encode(batch[i], quality=20, num_iters=3))
+            shard_dec = qmf_decode(streams[i])
+            p_single = float(psnr(batch[i], single_dec))
+            p_shard = float(psnr(batch[i], shard_dec))
+            assert abs(p_single - p_shard) < 0.2, (p_single, p_shard)
+
+    def test_patch_heavy_mesh_valid(self, batch):
+        # 1x8: every patch-stack matrix fully sharded over rows.
+        from lrf_tpu.utils.metrics import psnr
+
+        mesh = make_mesh(data=1, patch=8)
+        streams = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=2)
+        single_dec = qmf_decode(qmf_encode(batch[0], quality=20, num_iters=2))
+        shard_dec = qmf_decode(streams[0])
+        p_single = float(psnr(batch[0], single_dec))
+        p_shard = float(psnr(batch[0], shard_dec))
+        assert abs(p_single - p_shard) < 0.2, (p_single, p_shard)
+
+    def test_rank_config(self, batch):
+        mesh = make_mesh(data=8, patch=1)
+        streams = sharded_qmf_encode_batch(batch, mesh, rank=(6, 3, 3), num_iters=2)
+        single = qmf_encode(batch[0], rank=(6, 3, 3), num_iters=2)
+        assert streams[0] == single
+
+
+class TestMultiHostHelpers:
+    def test_shard_range_partition(self):
+        # The per-process slices must tile [0, n) in order.
+        for n, count in [(10, 3), (24, 8), (5, 8), (0, 4)]:
+            spans = [shard_range(n, i, count) for i in range(count)]
+            flat = []
+            for s, e in spans:
+                flat.extend(range(s, e))
+            assert flat == list(range(n))
+
+    def test_allgather_bytes_single_process(self):
+        blobs = [b"a", b"bc" * 10, b""]
+        assert allgather_bytes(blobs) == blobs
+
+    def test_distributed_encode_order(self, batch):
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+
+        def enc(imgs):
+            return sharded_qmf_encode_batch(imgs, mesh, quality=10, num_iters=1)
+
+        streams = distributed_encode(batch, enc)
+        assert len(streams) == len(batch)
+        assert streams[2] == qmf_encode(batch[2], quality=10, num_iters=1)
