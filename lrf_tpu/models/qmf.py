@@ -58,13 +58,17 @@ def _rank_from_quality(mat_size: tuple[int, int], quality: float) -> int:
 
 
 def _patched_mat_size(
-    ch_size: tuple[int, int], patch_size: tuple[int, int]
+    ch_size: tuple[int, int], patch_size: tuple[int, int], channels: int = 1
 ) -> tuple[int, int]:
-    """Shape of the patchified single-channel matrix after reflect padding."""
+    """Shape of the patchified matrix after reflect padding.
+
+    `(num_patches, channels * p * q)`: YCbCr paths patchify one channel at a
+    time (channels=1); RGB paths patchify the whole 3-channel image.
+    """
     t, b, l, r = pad_amounts(ch_size, patch_size)
     hp, wp = ch_size[0] + t + b, ch_size[1] + l + r
     p, q = patch_size
-    return (hp // p) * (wp // q), p * q
+    return (hp // p) * (wp // q), channels * p * q
 
 
 # --------------------------------------------------------------------------
@@ -185,7 +189,7 @@ def qmf_encode(
 
     if color_space == "RGB":
         if patch:
-            mat_size = _patched_mat_size(size, patch_size)
+            mat_size = _patched_mat_size(size, patch_size, channels=3)
             r = _rank_from_quality(mat_size, quality) if rank is None else rank
             t, b, l, rr = pad_amounts(size, patch_size)
             metadata.update(

@@ -118,6 +118,27 @@ class TestReferenceParity:
         theirs_meta = bytes_to_dict(separate_bytes(theirs, 2)[0])
         assert ours_meta == theirs_meta
 
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(quality=7),
+            dict(quality=10, color_space="RGB"),
+            dict(quality=15, color_space="RGB", patch=False),
+            dict(quality=15, patch=False),
+        ],
+    )
+    def test_metadata_identical_all_paths(self, ref_lrf, kodim01, kwargs):
+        # Metadata (incl. the quality->rank mapping) must match the reference
+        # exactly in every color-space x patch combination.
+        import torch
+
+        img = kodim01[:, :128, :160]
+        ours_meta = bytes_to_dict(separate_bytes(qmf_encode(img, **kwargs), 2)[0])
+        theirs_meta = bytes_to_dict(
+            separate_bytes(ref_lrf.qmf_encode(torch.tensor(img), **kwargs), 2)[0]
+        )
+        assert ours_meta == theirs_meta
+
     def test_compressed_size_close_to_reference(self, ref_lrf, kodim01):
         import torch
 
