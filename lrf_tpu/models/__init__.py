@@ -11,3 +11,16 @@ from lrf_tpu.models.container import (
     decode_tensor,
 )
 from lrf_tpu.models.qmf import qmf_encode, qmf_decode, qmf_rank
+from lrf_tpu.models.svd import svd_encode, svd_decode, svd_rank, svd_compression_ratio
+from lrf_tpu.models.hosvd import (
+    hosvd_encode,
+    hosvd_decode,
+    hosvd_rank,
+    hosvd_compression_ratio,
+    patch_hosvd_encode,
+    patch_hosvd_decode,
+    patch_hosvd_optimal_rank,
+    patch_hosvd_tensorize,
+    patch_hosvd_detensorize,
+)
+from lrf_tpu.models.pil import pil_encode, pil_decode

@@ -39,6 +39,7 @@ from lrf_tpu.ops.pad import pad_amounts, pad_image, unpad_image
 from lrf_tpu.ops.patch import depatchify, patchify
 from lrf_tpu.ops.quantize import to_dtype
 from lrf_tpu.ops.resample import chroma_downsample, chroma_upsample, scaled_size
+from lrf_tpu.utils.transfer import to_host
 
 __all__ = ["qmf_encode", "qmf_decode", "qmf_rank"]
 
@@ -207,7 +208,7 @@ def qmf_encode(
             size, r, patch, patch_size, bounds, num_iters, dtype_name, bcd_kwargs
         )
         u, v = encoder(image)
-        factors = [np.asarray(u), np.asarray(v)]
+        factors = [to_host(u), to_host(v)]
 
     else:  # YCbCr
         if not isinstance(rank, Iterable):
@@ -247,7 +248,7 @@ def qmf_encode(
             encoder = _ycbcr_nopatch_encoder(
                 size, ranks, scale_factor, bounds, num_iters, dtype_name, bcd_kwargs
             )
-        factors = [np.asarray(f) for f in encoder(image)]
+        factors = [to_host(f) for f in encoder(image)]
 
     encoded_metadata = dict_to_bytes(metadata)
     encoded_factors = combine_bytes([encode_tensor(f) for f in factors])
@@ -328,7 +329,7 @@ def qmf_decode(encoded_image: bytes) -> np.ndarray:
             decoder = _rgb_decoder(
                 False, None, None, None, (u.shape, v.shape), out_dtype
             )
-        return np.asarray(decoder(jnp.asarray(u), jnp.asarray(v)))
+        return to_host(decoder(jnp.asarray(u), jnp.asarray(v)))
 
     # YCbCr
     blobs = separate_bytes(encoded_factors, 6)
@@ -345,4 +346,4 @@ def qmf_decode(encoded_image: bytes) -> np.ndarray:
         )
     else:
         decoder = _ycbcr_nopatch_decoder(orig_sizes, uv_shapes, out_dtype)
-    return np.asarray(decoder(*[jnp.asarray(f) for f in factors]))
+    return to_host(decoder(*[jnp.asarray(f) for f in factors]))

@@ -41,6 +41,7 @@ from lrf_tpu.ops.patch import depatchify, patchify
 from lrf_tpu.ops.quantize import np_dequantize, quantize, to_dtype
 from lrf_tpu.ops.resample import chroma_downsample, chroma_upsample, scaled_size
 from lrf_tpu.ops.svd import svd_balanced_factors
+from lrf_tpu.utils.transfer import to_host
 
 __all__ = ["svd_encode", "svd_decode", "svd_rank", "svd_compression_ratio"]
 
@@ -85,13 +86,13 @@ def _encode_channel(x, rank, patch, patch_size, quantize_dtype):
     if quantize_dtype is not None:
         qu, qv, su, mu, sv, mv = out
         return (
-            np.asarray(qu),
-            np.asarray(qv),
+            to_host(qu),
+            to_host(qv),
             [float(su), float(mu)],
             [float(sv), float(mv)],
         )
     u, v = out
-    return np.asarray(u), np.asarray(v), None, None
+    return to_host(u), to_host(v), None, None
 
 
 def svd_encode(
@@ -243,7 +244,7 @@ def svd_decode(encoded_image: bytes) -> np.ndarray:
             )
         else:
             decoder = _svd_decoder_rgb(False, None, None, None, (u.shape, v.shape), out_dtype)
-        return np.asarray(decoder(jnp.asarray(uf), jnp.asarray(vf)))
+        return to_host(decoder(jnp.asarray(uf), jnp.asarray(vf)))
 
     # YCbCr
     blobs = separate_bytes(encoded_factors, 6)
@@ -267,4 +268,4 @@ def svd_decode(encoded_image: bytes) -> np.ndarray:
         tuple(f.shape for f in factors),
         out_dtype,
     )
-    return np.asarray(decoder(*[jnp.asarray(f) for f in factors]))
+    return to_host(decoder(*[jnp.asarray(f) for f in factors]))

@@ -13,6 +13,24 @@ from lrf_tpu.ops.patch import patchify, depatchify, patchify_uv, depatchify_uv
 from lrf_tpu.ops.quantize import quantize, dequantize, to_dtype, np_dequantize
 from lrf_tpu.ops.common import relative_error, safe_divide, soft_thresholding
 from lrf_tpu.ops.svd import truncated_svd, svd_balanced_factors
+from lrf_tpu.ops.hosvd import (
+    unfold,
+    mode_product,
+    multi_mode_product,
+    batched_multi_mode_product,
+    hosvd,
+    batched_hosvd,
+    hosvd_rank_upper_bounds,
+    hosvd_rank_feasible_ranges,
+)
+from lrf_tpu.ops.tt import (
+    ttd,
+    batched_ttd,
+    contract_tt,
+    batched_contract_tt,
+    tt_rank_upper_bounds,
+    tt_rank_feasible_ranges,
+)
 from lrf_tpu.ops.bcd import (
     qmf_decompose,
     qmf_reconstruct,

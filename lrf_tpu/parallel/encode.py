@@ -33,6 +33,7 @@ from lrf_tpu.ops.color import rgb_to_ycbcr
 from lrf_tpu.ops.pad import pad_amounts, pad_image
 from lrf_tpu.ops.patch import patchify
 from lrf_tpu.ops.resample import chroma_downsample, scaled_size
+from lrf_tpu.utils.transfer import to_host
 
 __all__ = ["sharded_qmf_encode_batch", "build_sharded_encoder"]
 
@@ -153,7 +154,7 @@ def sharded_qmf_encode_batch(
     fn, metadata = build_sharded_encoder(mesh, size, quality=quality, rank=rank, **config)
     images = jax.device_put(images, NamedSharding(mesh, P("data")))
     factors = fn(images)
-    factors = [np.asarray(f) for f in factors]  # (B, ., R) each
+    factors = [to_host(f) for f in factors]  # (B, ., R) each
     encoded_metadata = dict_to_bytes(metadata)
     streams = []
     for i in range(b):

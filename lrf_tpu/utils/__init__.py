@@ -10,3 +10,6 @@ from lrf_tpu.utils.metrics import (
     compression_ratio,
     bits_per_pixel,
 )
+from lrf_tpu.utils.eval import eval_compression, read_image
+from lrf_tpu.utils.config import read_config, save_config, json_serializer
+from lrf_tpu.utils.transfer import to_host, tree_to_host
