@@ -109,6 +109,50 @@ def decode_matrix(encoded_matrix: bytes) -> np.ndarray:
     return np.stack(fibers, axis=axis)
 
 
+def encode_matrix_batch(tensors: np.ndarray, mode: str = "col") -> list[bytes]:
+    """Per-image `encode_matrix` over a `(B, M, N)` stack, one native call.
+
+    Output bytes are identical to ``[encode_matrix(t) for t in tensors]``;
+    with the native coder built, all B*N fibers deflate in a single
+    thread-pooled call instead of B separate ones.
+    """
+    assert tensors.ndim == 3
+    b, m, n = tensors.shape
+    num_fibers = n if mode == "col" else m
+    per = n if mode == "col" else m
+
+    block = (
+        np.ascontiguousarray(tensors.transpose(0, 2, 1)).reshape(b * n, m)
+        if mode == "col"
+        else np.ascontiguousarray(tensors).reshape(b * m, n)
+    )
+    blobs = _native.compress_fibers(block, "row")
+    if blobs is None:
+        return [encode_matrix(t, mode) for t in tensors]
+
+    metadata = {
+        "num_fibers": num_fibers,
+        "mode": mode,
+        "dtype": tensors.dtype.name,
+    }
+    encoded_metadata = dict_to_bytes(metadata)
+    out = []
+    for i in range(b):
+        fibers = blobs[i * per : (i + 1) * per]
+        out.append(combine_bytes([encoded_metadata, combine_bytes(fibers)]))
+    return out
+
+
+def encode_tensor_batch(tensors: np.ndarray) -> list[bytes]:
+    """Per-image `encode_tensor` over a stack: `(B, M, N)` -> matrix coder,
+    higher-rank -> per-image whole-buffer zlib. Bytes identical to the
+    unbatched calls."""
+    tensors = np.asarray(tensors)
+    if tensors.ndim == 3:
+        return encode_matrix_batch(tensors)
+    return [encode_tensor(t) for t in tensors]
+
+
 def encode_tensor(tensor: np.ndarray) -> bytes:
     """2-D -> `encode_matrix`; N-D -> whole-buffer zlib (`compression/utils.py:429`)."""
     tensor = np.asarray(tensor)

@@ -1,0 +1,162 @@
+// Native fiber codec: thread-pooled per-fiber zlib for factor serialization.
+//
+// The reference compresses every factor column with a separate Python-level
+// zlib call (pashtari/lrf `lrf/compression/utils.py:374-378`). For batched
+// TPU encoding that Python loop is the serialization bottleneck, so this
+// library does the same work natively: split a row-major fiber block into
+// fibers, deflate each at the requested level on a std::thread pool, and
+// return per-fiber compressed lengths. Byte output is identical to CPython's
+// zlib module (both wrap the same zlib deflate with default settings).
+//
+// Build: make -C lrf_tpu/native   (produces libfibercodec.so)
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+int compress_one(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                 int64_t dst_cap, int level, int64_t* out_len) {
+  uLongf dest_len = static_cast<uLongf>(dst_cap);
+  int rc = compress2(dst, &dest_len, src, static_cast<uLong>(src_len), level);
+  if (rc != Z_OK) return rc;
+  *out_len = static_cast<int64_t>(dest_len);
+  return Z_OK;
+}
+
+int decompress_one(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                   int64_t dst_cap) {
+  uLongf dest_len = static_cast<uLongf>(dst_cap);
+  int rc = uncompress(dst, &dest_len, src, static_cast<uLong>(src_len));
+  if (rc != Z_OK) return rc;
+  if (static_cast<int64_t>(dest_len) != dst_cap) return Z_DATA_ERROR;
+  return Z_OK;
+}
+
+// Persistent thread pool: zlib calls are ~100us-1ms each, so per-call
+// thread spawn would dominate. Workers live for the process lifetime.
+class Pool {
+ public:
+  static Pool& instance() {
+    // Intentionally leaked: a static instance would run its destructor at
+    // process exit and tear down the mutex/cv under the detached workers.
+    static Pool* pool = new Pool();
+    return *pool;
+  }
+
+  template <typename Fn>
+  void run(int64_t n, Fn&& fn) {
+    if (n <= 0) return;
+    if (n == 1 || workers_.empty()) {
+      for (int64_t i = 0; i < n; ++i) fn(i);
+      return;
+    }
+    std::unique_lock<std::mutex> lock(mu_);
+    task_ = fn;
+    total_ = n;
+    next_ = 0;
+    remaining_ = n;
+    ++generation_;
+    cv_.notify_all();
+    done_cv_.wait(lock, [this] { return remaining_ == 0; });
+    task_ = nullptr;
+  }
+
+ private:
+  Pool() {
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t num = hw ? hw : 4;
+    for (size_t t = 0; t < num; ++t) {
+      // Detached: workers live for the process lifetime and must not block
+      // process exit (they hold no resources beyond the static pool state).
+      std::thread th([this] { worker_loop(); });
+      workers_.push_back(th.get_id());
+      th.detach();
+    }
+  }
+
+  void worker_loop() {
+    uint64_t seen = 0;
+    for (;;) {
+      std::unique_lock<std::mutex> lock(mu_);
+      cv_.wait(lock, [&] { return generation_ != seen; });
+      seen = generation_;
+      for (;;) {
+        int64_t i = next_;
+        if (i >= total_) break;
+        next_ = i + 1;
+        lock.unlock();
+        task_(i);
+        lock.lock();
+        if (--remaining_ == 0) done_cv_.notify_all();
+      }
+    }
+  }
+
+  std::vector<std::thread::id> workers_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::condition_variable done_cv_;
+  std::function<void(int64_t)> task_;
+  int64_t total_ = 0;
+  int64_t next_ = 0;
+  int64_t remaining_ = 0;
+  uint64_t generation_ = 0;
+};
+
+template <typename Fn>
+void parallel_for(int64_t n, Fn fn) {
+  Pool::instance().run(n, fn);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compress `num_fibers` contiguous fibers of `fiber_bytes` bytes each from
+// `data`. Each fiber's deflate output goes to `out + i * out_cap`; its
+// length to `out_lens[i]`. Returns 0 on success.
+int lrf_compress_fibers(const uint8_t* data, int64_t num_fibers,
+                        int64_t fiber_bytes, int level, uint8_t* out,
+                        int64_t out_cap, int64_t* out_lens) {
+  std::vector<int> rcs(static_cast<size_t>(num_fibers), Z_OK);
+  parallel_for(num_fibers, [&](int64_t i) {
+    rcs[static_cast<size_t>(i)] =
+        compress_one(data + i * fiber_bytes, fiber_bytes, out + i * out_cap,
+                     out_cap, level, &out_lens[i]);
+  });
+  for (int rc : rcs)
+    if (rc != Z_OK) return rc;
+  return 0;
+}
+
+// Decompress `num_fibers` concatenated deflate blobs (lengths in
+// `blob_lens`) into `out`, each fiber occupying `fiber_bytes` bytes.
+int lrf_decompress_fibers(const uint8_t* blobs, const int64_t* blob_lens,
+                          int64_t num_fibers, uint8_t* out,
+                          int64_t fiber_bytes) {
+  std::vector<int64_t> offsets(static_cast<size_t>(num_fibers));
+  int64_t off = 0;
+  for (int64_t i = 0; i < num_fibers; ++i) {
+    offsets[static_cast<size_t>(i)] = off;
+    off += blob_lens[i];
+  }
+  std::vector<int> rcs(static_cast<size_t>(num_fibers), Z_OK);
+  parallel_for(num_fibers, [&](int64_t i) {
+    rcs[static_cast<size_t>(i)] =
+        decompress_one(blobs + offsets[static_cast<size_t>(i)], blob_lens[i],
+                       out + i * fiber_bytes, fiber_bytes);
+  });
+  for (int rc : rcs)
+    if (rc != Z_OK) return rc;
+  return 0;
+}
+
+}  // extern "C"

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lrf_tpu.models.container import combine_bytes, dict_to_bytes, encode_tensor
+from lrf_tpu.models.container import (
+    combine_bytes,
+    dict_to_bytes,
+    encode_tensor,
+    encode_tensor_batch,
+)
 from lrf_tpu.models.qmf import _patched_mat_size, _rank_from_quality
 from lrf_tpu.ops.bcd import qmf_decompose
 from lrf_tpu.ops.color import rgb_to_ycbcr
@@ -156,8 +161,11 @@ def sharded_qmf_encode_batch(
     factors = fn(images)
     factors = [to_host(f) for f in factors]  # (B, ., R) each
     encoded_metadata = dict_to_bytes(metadata)
+    # One thread-pooled native zlib call per factor stack (bytes identical
+    # to per-image encode_tensor; falls back transparently without the .so).
+    per_factor_blobs = [encode_tensor_batch(f) for f in factors]
     streams = []
     for i in range(b):
-        encoded_factors = combine_bytes([encode_tensor(f[i]) for f in factors])
+        encoded_factors = combine_bytes([blobs[i] for blobs in per_factor_blobs])
         streams.append(combine_bytes([encoded_metadata, encoded_factors]))
     return streams
