@@ -15,6 +15,7 @@ codec; on local PCIe it is negligible).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -122,5 +123,43 @@ def main():
     )
 
 
+def supervise(retries: int = 3, timeout_s: int = 300) -> int:
+    """Run the measurement in a killable child, retrying on tunnel hangs.
+
+    The tunnel-attached TPU in this environment occasionally deadlocks a
+    single compile/execute/transfer; a fresh process (with the persistent
+    compile cache already populated by the previous attempt's progress)
+    almost always succeeds. The child's final JSON line is echoed as ours.
+    """
+    import subprocess
+
+    env = dict(os.environ, LRF_BENCH_CHILD="1")
+    for attempt in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+        except subprocess.TimeoutExpired as e:
+            log(f"bench attempt {attempt + 1} timed out; retrying")
+            if e.stderr:
+                log((e.stderr if isinstance(e.stderr, str) else e.stderr.decode())[-500:])
+            continue
+        sys.stderr.write(proc.stderr)
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        log(f"bench attempt {attempt + 1} failed rc={proc.returncode}")
+    log("all bench attempts failed")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("LRF_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(supervise())

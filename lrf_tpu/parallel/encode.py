@@ -53,9 +53,31 @@ def _cached_sharded_encoder(
     bounds: tuple[float, float],
     num_iters: int,
     dtype_name: str,
+    backend: str = "auto",
 ):
     dtype = jnp.dtype(dtype_name)
     shard_patches = mesh.shape["patch"] > 1
+    # The fused Pallas BCD kernel (lrf_tpu.ops.bcd_pallas) is used on a
+    # single-device TPU mesh; under real sharding the XLA path partitions
+    # automatically while pallas_call would need a shard_map wrapper (future
+    # work), and on CPU the XLA path is faster than interpret mode.
+    use_pallas = backend == "pallas" or (
+        backend == "auto"
+        and jax.default_backend() == "tpu"
+        and mesh.devices.size == 1
+    )
+
+    def factorize(xm, rank):
+        if use_pallas:
+            from lrf_tpu.ops.bcd import svd_init
+            from lrf_tpu.ops.bcd_pallas import bcd_pallas
+
+            u0, v0, _ = svd_init(xm, rank)
+            return bcd_pallas(xm, u0, v0, num_iters=num_iters, bounds=bounds)
+        u, v, _ = qmf_decompose(
+            xm, rank=rank, num_iters=num_iters, bounds=bounds, factor=(0, 1)
+        )
+        return u, v
 
     def encode(images: jnp.ndarray):
         """images: (B, 3, H, W) sharded over 'data' on B."""
@@ -69,9 +91,7 @@ def _cached_sharded_encoder(
                 xm = jax.lax.with_sharding_constraint(
                     xm, NamedSharding(mesh, P("data", "patch", None))
                 )
-            u, v, _ = qmf_decompose(
-                xm, rank=rank, num_iters=num_iters, bounds=bounds, factor=(0, 1)
-            )
+            u, v = factorize(xm, rank)
             factors.append(u.astype(dtype))
             factors.append(v.astype(dtype))
         return tuple(factors)
@@ -91,6 +111,7 @@ def build_sharded_encoder(
     bounds: tuple[float, float] = (-16, 15),
     num_iters: int = 10,
     dtype=np.int8,
+    backend: str = "auto",
 ):
     """Compile (cached) a sharded YCbCr-patch batch encoder for one config.
 
@@ -137,6 +158,7 @@ def build_sharded_encoder(
         tuple(bounds),
         num_iters,
         np.dtype(dtype).name,
+        backend,
     )
     return fn, metadata
 

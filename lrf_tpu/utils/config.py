@@ -1,21 +1,23 @@
-"""JSON config IO with dtype (de)serialization hooks.
+"""JSON results/config IO with dtype (de)serialization hooks.
 
 Equivalent of the reference's config helpers (`lrf/utils/misc.py:686-759` in
-pashtari/lrf), which serialize experiment kwargs — including torch dtypes —
-to JSON. Here dtypes are numpy/jax dtypes, serialized as ``"dtype::<name>"``
-strings; for compatibility we also parse the reference's ``torch.<name>``
-representation back into numpy dtypes.
+pashtari/lrf): `save_config(results, save_dir=..., prefix=...)` writes
+``{prefix}_results.json`` exactly like the reference experiment drivers
+expect, and `read_config` revives dtype strings. Dtypes here are numpy/jax
+dtypes serialized as ``"dtype::<name>"``; the reference's ``torch.<name>``
+strings are also parsed back into numpy dtypes so its stored results files
+load directly.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["json_serializer", "save_config", "read_config"]
+__all__ = ["json_serializer", "json_deserializer", "save_config", "read_config"]
 
 _DTYPE_PREFIX = "dtype::"
 
@@ -35,27 +37,35 @@ def json_serializer(obj: Any):
     raise TypeError(f"Object of type {type(obj)} is not JSON serializable")
 
 
-def _decode_value(v: Any):
-    if isinstance(v, str):
-        if v.startswith(_DTYPE_PREFIX):
-            return np.dtype(v[len(_DTYPE_PREFIX):])
-        if v.startswith("torch."):  # reference-format config files
-            return np.dtype(v.split(".", 1)[1])
-    if isinstance(v, dict):
-        return {k: _decode_value(x) for k, x in v.items()}
-    if isinstance(v, list):
-        return [_decode_value(x) for x in v]
-    return v
+def json_deserializer(dct: dict) -> dict:
+    """Object hook reviving dtype strings (`utils/misc.py:704`), including
+    the reference's ``torch.<name>`` representation."""
+    for key, value in dct.items():
+        if isinstance(value, str):
+            if value.startswith(_DTYPE_PREFIX):
+                dct[key] = np.dtype(value[len(_DTYPE_PREFIX):])
+            elif value.startswith("torch."):
+                try:
+                    dct[key] = np.dtype(value.split(".", 1)[1])
+                except TypeError:
+                    pass
+    return dct
 
 
-def save_config(config: Any, path: str) -> None:
-    """Save a (nested) config/results object to JSON (`utils/misc.py:736`)."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(config, f, default=json_serializer, indent=2)
+def save_config(
+    data: Sequence[dict] | dict,
+    save_dir: Optional[str] = None,
+    prefix: str = "",
+) -> None:
+    """Save results to ``{save_dir}/{prefix}_results.json`` (`utils/misc.py:736`)."""
+    if save_dir is None:
+        raise FileNotFoundError("Save directory must be specified")
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, f"{prefix}_results.json"), "w") as f:
+        json.dump(data, f, indent=4, default=json_serializer)
 
 
-def read_config(path: str):
-    """Load a JSON config, reviving dtype strings (`utils/misc.py:704`)."""
-    with open(path) as f:
-        return _decode_value(json.load(f))
+def read_config(file_name: str):
+    """Load a results/config JSON, reviving dtype strings (`utils/misc.py:720`)."""
+    with open(file_name) as f:
+        return json.load(f, object_hook=json_deserializer)

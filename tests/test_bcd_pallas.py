@@ -1,0 +1,67 @@
+"""Pallas BCD kernel equivalence tests (interpret mode on the CPU mesh).
+
+The fused kernel must produce factors of identical quality to the pure-JAX
+Gauss-Seidel solver; entries match except where tiled accumulation order
+flips a round() at an ulp-level tie.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lrf_tpu.ops.bcd import bcd_sweep, make_project, qmf_loss, svd_init
+from lrf_tpu.ops.bcd_pallas import bcd_pallas, qmf_decompose_pallas
+
+RNG = np.random.default_rng(17)
+
+
+def _reference_bcd(x, u0, v0, iters, bounds):
+    proj = make_project(bounds)
+    u, v = u0, v0
+    w = jnp.concatenate(
+        [jnp.zeros_like(x[..., :1, :1]), jnp.ones_like(x[..., :1, :1])], axis=-2
+    )
+    for _ in range(iters):
+        u, v, w = bcd_sweep(x, u, v, w, factor=(0, 1), project=proj)
+    return u, v
+
+
+@pytest.mark.parametrize(
+    "b,m,n,r,tile",
+    [
+        (3, 300, 64, 7, 128),
+        (2, 257, 64, 5, 128),  # m not divisible by tile
+        (1, 64, 64, 1, 64),  # rank 1
+        (2, 128, 64, 26, 64),  # high rank
+    ],
+)
+def test_matches_pure_jax(b, m, n, r, tile):
+    x = jnp.asarray(RNG.integers(0, 256, (b, m, n)).astype(np.float32))
+    u0, v0, _ = svd_init(x, r)
+    uj, vj = _reference_bcd(x, u0, v0, 4, (-16, 15))
+    up, vp = bcd_pallas(x, u0, v0, num_iters=4, bounds=(-16, 15), tile_m=tile, interpret=True)
+    assert up.shape == uj.shape and vp.shape == vj.shape
+    # quality identical
+    loss_j = float(qmf_loss(x, uj, vj).mean())
+    loss_p = float(qmf_loss(x, up, vp).mean())
+    assert abs(loss_j - loss_p) < 2e-3, (loss_j, loss_p)
+    # overwhelming majority of entries identical (rest: tie-break flips)
+    assert float((np.asarray(up) == np.asarray(uj)).mean()) > 0.85
+    assert float((np.asarray(vp) == np.asarray(vj)).mean()) > 0.85
+
+
+def test_bounds_and_integrality():
+    x = jnp.asarray(RNG.integers(0, 256, (2, 200, 64)).astype(np.float32))
+    u, v, _ = qmf_decompose_pallas(x, rank=6, num_iters=3, bounds=(-8, 7), interpret=True)
+    for f in (u, v):
+        arr = np.asarray(f)
+        assert np.all(arr == np.round(arr))
+        assert arr.min() >= -8 and arr.max() <= 7
+
+
+def test_zero_iters_returns_init():
+    x = jnp.asarray(RNG.integers(0, 256, (1, 128, 64)).astype(np.float32))
+    u0, v0, _ = svd_init(x, 4)
+    u, v = bcd_pallas(x, u0, v0, num_iters=0, bounds=(-16, 15), tile_m=64, interpret=True)
+    # zero sweeps: factors unchanged (u buffer aliased from u0, v copied out)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u0))
