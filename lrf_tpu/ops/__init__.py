@@ -31,6 +31,8 @@ from lrf_tpu.ops.tt import (
     tt_rank_upper_bounds,
     tt_rank_feasible_ranges,
 )
+from lrf_tpu.ops.modules import RandInit, SVDInit, CoordinateDescent, QMF, HOSVD
+from lrf_tpu.ops.bcd_pallas import bcd_pallas, qmf_decompose_pallas
 from lrf_tpu.ops.bcd import (
     qmf_decompose,
     qmf_reconstruct,
