@@ -56,12 +56,10 @@ def main():
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from lrf_tpu.models.container import combine_bytes, dict_to_bytes, encode_tensor
     from lrf_tpu.models.qmf import qmf_decode
-    from lrf_tpu.parallel.encode import build_sharded_encoder
+    from lrf_tpu.parallel.encode import sharded_qmf_encode_batch
     from lrf_tpu.parallel.mesh import make_mesh
     from lrf_tpu.utils.metrics import bits_per_pixel, psnr
-    from lrf_tpu.utils.transfer import to_host
 
     devices = jax.devices()
     log(f"devices: {devices}")
@@ -69,7 +67,6 @@ def main():
     batch = load_batch()
     mpix = batch.shape[0] * H * W / 1e6
 
-    fn, metadata = build_sharded_encoder(mesh, (H, W), quality=QUALITY)
     sharding = NamedSharding(mesh, P("data"))
 
     t0 = time.perf_counter()
@@ -79,16 +76,7 @@ def main():
     log(f"one-time H2D upload: {upload_s:.2f}s ({batch.nbytes/1e6:.0f} MB over tunnel)")
 
     def encode_resident():
-        factors = fn(device_batch)
-        host_factors = [to_host(f) for f in factors]
-        encoded_metadata = dict_to_bytes(metadata)
-        streams = []
-        for i in range(BATCH):
-            encoded_factors = combine_bytes(
-                [encode_tensor(f[i]) for f in host_factors]
-            )
-            streams.append(combine_bytes([encoded_metadata, encoded_factors]))
-        return streams
+        return sharded_qmf_encode_batch(device_batch, mesh, quality=QUALITY)
 
     t0 = time.perf_counter()
     streams = encode_resident()

@@ -43,6 +43,52 @@ from lrf_tpu.utils.transfer import to_host
 __all__ = ["sharded_qmf_encode_batch", "build_sharded_encoder"]
 
 
+def _pack_factors(factors, lo: int, bits: int):
+    """Bit-pack int-valued factor arrays into one uint32 buffer on device.
+
+    Values lie in [lo, lo + 2^bits); `vals_per_word = 30 // bits` values go
+    into each word (values * 2^(bits*j) summed). Shrinks the D2H transfer to
+    ~bits/8 bytes per value and collapses six fetches into one — on the
+    tunnel-attached TPU this is the dominant cost of batched encoding.
+    """
+    vals_per_word = 30 // bits
+    flats = [jnp.ravel(f.astype(jnp.int32) - lo) for f in factors]
+    flat = jnp.concatenate(flats)
+    total = flat.shape[0]
+    padded = -(-total // vals_per_word) * vals_per_word
+    flat = jnp.pad(flat, (0, padded - total))
+    words = flat.reshape(-1, vals_per_word).astype(jnp.uint32)
+    shifts = jnp.asarray(
+        [1 << (bits * j) for j in range(vals_per_word)], jnp.uint32
+    )
+    return jnp.sum(words * shifts[None, :], axis=1, dtype=jnp.uint32)
+
+
+def _unpack_factors(packed: np.ndarray, shapes, dtype, lo: int, bits: int):
+    """Host-side inverse of `_pack_factors` (vectorized numpy)."""
+    vals_per_word = 30 // bits
+    mask = (1 << bits) - 1
+    shifts = np.arange(vals_per_word, dtype=np.uint32) * bits
+    vals = (packed[:, None] >> shifts[None, :]) & mask
+    vals = vals.reshape(-1).astype(np.int32) + lo
+    out = []
+    offset = 0
+    for shape in shapes:
+        n = int(np.prod(shape))
+        out.append(vals[offset : offset + n].reshape(shape).astype(dtype))
+        offset += n
+    return out
+
+
+def _pack_params(bounds) -> tuple[int, int]:
+    """(lo, bits) for bit-packing factors projected to [ceil(lo), floor(hi)]."""
+    import math as _math
+
+    lo = _math.ceil(bounds[0])
+    levels = _math.floor(bounds[1]) - lo + 1
+    return lo, max(1, _math.ceil(_math.log2(levels)))
+
+
 @lru_cache(maxsize=None)
 def _cached_sharded_encoder(
     mesh: Mesh,
@@ -54,6 +100,7 @@ def _cached_sharded_encoder(
     num_iters: int,
     dtype_name: str,
     backend: str = "auto",
+    pack: bool = False,
 ):
     dtype = jnp.dtype(dtype_name)
     shard_patches = mesh.shape["patch"] > 1
@@ -94,9 +141,14 @@ def _cached_sharded_encoder(
             u, v = factorize(xm, rank)
             factors.append(u.astype(dtype))
             factors.append(v.astype(dtype))
+        if pack:
+            lo, bits = _pack_params(bounds)
+            return _pack_factors(factors, lo, bits)
         return tuple(factors)
 
     in_sharding = NamedSharding(mesh, P("data"))
+    if pack:
+        return jax.jit(encode, in_shardings=(in_sharding,))
     out_shardings = tuple([NamedSharding(mesh, P("data"))] * 6)
     return jax.jit(encode, in_shardings=(in_sharding,), out_shardings=out_shardings)
 
@@ -112,12 +164,21 @@ def build_sharded_encoder(
     num_iters: int = 10,
     dtype=np.int8,
     backend: str = "auto",
+    pack: Optional[bool] = None,
+    batch: Optional[int] = None,
 ):
     """Compile (cached) a sharded YCbCr-patch batch encoder for one config.
 
-    Returns `(encode_fn, metadata)`: `encode_fn(images)` maps a sharded
-    `(B, 3, H, W)` batch to 6 per-channel factor arrays; `metadata` is the
-    (shared) stream metadata dict for serialization.
+    Returns `(encode_fn, metadata, pack_spec)`: `encode_fn(images)` maps a
+    sharded `(B, 3, H, W)` batch to 6 per-channel factor arrays — or, when
+    packing is active, to one bit-packed uint32 buffer (see `_pack_factors`);
+    `metadata` is the (shared) stream metadata dict; `pack_spec` is None or
+    `{"shapes", "lo", "bits", "dtype"}` for host-side unpacking (`batch` must
+    be given to enable packing, since factor shapes include the batch dim).
+
+    pack=None auto-enables on single-device TPU meshes (where the D2H fetch
+    over the tunnel dominates), for >=1 BCD sweep (iters=0 factors are
+    unprojected and may exceed the bounds' bit budget).
     """
     size = tuple(image_size)
     if not isinstance(rank, Iterable):
@@ -149,6 +210,15 @@ def build_sharded_encoder(
         "padded size": padded_sizes,
         "rank": list(ranks),
     }
+    if pack is None:
+        pack = (
+            batch is not None
+            and num_iters >= 1
+            and jax.default_backend() == "tpu"
+            and mesh.devices.size == 1
+        )
+    pack = bool(pack) and batch is not None
+
     fn = _cached_sharded_encoder(
         mesh,
         size,
@@ -159,8 +229,24 @@ def build_sharded_encoder(
         num_iters,
         np.dtype(dtype).name,
         backend,
+        pack,
     )
-    return fn, metadata
+    pack_spec = None
+    if pack:
+        p, q = patch_size
+        shapes = []
+        for ch_size, padded, r in zip(ch_sizes, padded_sizes, ranks):
+            m = (padded[0] // p) * (padded[1] // q)
+            shapes.append((batch, m, r))  # u
+            shapes.append((batch, p * q, r))  # v
+        lo, bits = _pack_params(bounds)
+        pack_spec = {
+            "shapes": tuple(shapes),
+            "lo": lo,
+            "bits": bits,
+            "dtype": np.dtype(dtype),
+        }
+    return fn, metadata, pack_spec
 
 
 def sharded_qmf_encode_batch(
@@ -175,17 +261,32 @@ def sharded_qmf_encode_batch(
     Streams are identical to what per-image `qmf_encode` produces (and thus
     decode with the reference decoder). Batch order is preserved.
     """
-    images = jnp.asarray(images)
-    b = images.shape[0]
+    b = int(images.shape[0])
     size = (int(images.shape[-2]), int(images.shape[-1]))
-    fn, metadata = build_sharded_encoder(mesh, size, quality=quality, rank=rank, **config)
-    images = jax.device_put(images, NamedSharding(mesh, P("data")))
-    factors = fn(images)
-    factors = [to_host(f) for f in factors]  # (B, ., R) each
+    fn, metadata, pack_spec = build_sharded_encoder(
+        mesh, size, quality=quality, rank=rank, batch=b, **config
+    )
+    target = NamedSharding(mesh, P("data"))
+    if not (isinstance(images, jax.Array) and images.sharding == target):
+        images = jax.device_put(jnp.asarray(images), target)
+    out = fn(images)
     encoded_metadata = dict_to_bytes(metadata)
-    # One thread-pooled native zlib call per factor stack (bytes identical
-    # to per-image encode_tensor; falls back transparently without the .so).
-    per_factor_blobs = [encode_tensor_batch(f) for f in factors]
+    # Sequential fetch-then-compress. (An overlapped ThreadPoolExecutor
+    # variant deadlocked the tunnel-attached TPU runtime — concurrent host
+    # threads touching jax arrays while fetches are in flight wedge the
+    # single-client transport; revisit on local hardware.)
+    if pack_spec is not None:
+        packed = to_host(out)  # one fetch for all factors
+        host_factors = _unpack_factors(
+            packed,
+            pack_spec["shapes"],
+            pack_spec["dtype"],
+            pack_spec["lo"],
+            pack_spec["bits"],
+        )
+    else:
+        host_factors = [to_host(f) for f in out]  # (B, ., R) each
+    per_factor_blobs = [encode_tensor_batch(f) for f in host_factors]
     streams = []
     for i in range(b):
         encoded_factors = combine_bytes([blobs[i] for blobs in per_factor_blobs])

@@ -75,6 +75,23 @@ class TestShardedEncode:
         p_shard = float(psnr(batch[0], shard_dec))
         assert abs(p_single - p_shard) < 0.2, (p_single, p_shard)
 
+    def test_packed_fetch_identical_streams(self, batch):
+        # Bit-packed single-buffer fetch must give byte-identical streams.
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        plain = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=3, pack=False)
+        packed = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=3, pack=True)
+        assert plain == packed
+
+    def test_packed_fetch_wide_bounds(self, batch):
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        plain = sharded_qmf_encode_batch(
+            batch, mesh, quality=20, num_iters=2, bounds=(-128, 127), pack=False
+        )
+        packed = sharded_qmf_encode_batch(
+            batch, mesh, quality=20, num_iters=2, bounds=(-128, 127), pack=True
+        )
+        assert plain == packed
+
     def test_rank_config(self, batch):
         mesh = make_mesh(data=8, patch=1)
         streams = sharded_qmf_encode_batch(batch, mesh, rank=(6, 3, 3), num_iters=2)
