@@ -22,21 +22,64 @@
 
 namespace {
 
+// Per-thread cached deflate/inflate states. `compress2`/`uncompress`
+// allocate and free ~256 KiB of internal zlib state per call, which
+// dominates when fibers are a few KiB; `deflateReset`/`inflateReset`
+// restore a cached stream to its freshly-initialized state, so the output
+// bytes are identical to one-shot `compress2` (same windowBits/memLevel/
+// strategy defaults) at a fraction of the cost.
 int compress_one(const uint8_t* src, int64_t src_len, uint8_t* dst,
                  int64_t dst_cap, int level, int64_t* out_len) {
-  uLongf dest_len = static_cast<uLongf>(dst_cap);
-  int rc = compress2(dst, &dest_len, src, static_cast<uLong>(src_len), level);
-  if (rc != Z_OK) return rc;
-  *out_len = static_cast<int64_t>(dest_len);
+  struct TlsDeflate {
+    z_stream strm;
+    int level = -1;
+    bool live = false;
+  };
+  thread_local TlsDeflate tls;  // workers are detached process-lifetime
+  if (!tls.live || tls.level != level) {
+    if (tls.live) {
+      deflateEnd(&tls.strm);
+      tls.live = false;
+    }
+    std::memset(&tls.strm, 0, sizeof(tls.strm));
+    if (deflateInit(&tls.strm, level) != Z_OK) return Z_MEM_ERROR;
+    tls.live = true;
+    tls.level = level;
+  } else if (deflateReset(&tls.strm) != Z_OK) {
+    return Z_STREAM_ERROR;
+  }
+  tls.strm.next_in = const_cast<Bytef*>(src);
+  tls.strm.avail_in = static_cast<uInt>(src_len);
+  tls.strm.next_out = dst;
+  tls.strm.avail_out = static_cast<uInt>(dst_cap);
+  int rc = deflate(&tls.strm, Z_FINISH);
+  if (rc != Z_STREAM_END) return rc == Z_OK ? Z_BUF_ERROR : rc;
+  *out_len = dst_cap - static_cast<int64_t>(tls.strm.avail_out);
   return Z_OK;
 }
 
 int decompress_one(const uint8_t* src, int64_t src_len, uint8_t* dst,
                    int64_t dst_cap) {
-  uLongf dest_len = static_cast<uLongf>(dst_cap);
-  int rc = uncompress(dst, &dest_len, src, static_cast<uLong>(src_len));
-  if (rc != Z_OK) return rc;
-  if (static_cast<int64_t>(dest_len) != dst_cap) return Z_DATA_ERROR;
+  struct TlsInflate {
+    z_stream strm;
+    bool live = false;
+  };
+  thread_local TlsInflate tls;
+  if (!tls.live) {
+    std::memset(&tls.strm, 0, sizeof(tls.strm));
+    if (inflateInit(&tls.strm) != Z_OK) return Z_MEM_ERROR;
+    tls.live = true;
+  } else if (inflateReset(&tls.strm) != Z_OK) {
+    return Z_STREAM_ERROR;
+  }
+  tls.strm.next_in = const_cast<Bytef*>(src);
+  tls.strm.avail_in = static_cast<uInt>(src_len);
+  tls.strm.next_out = dst;
+  tls.strm.avail_out = static_cast<uInt>(dst_cap);
+  int rc = inflate(&tls.strm, Z_FINISH);
+  if (rc != Z_STREAM_END) return rc == Z_OK ? Z_BUF_ERROR : rc;
+  if (static_cast<int64_t>(dst_cap - tls.strm.avail_out) != dst_cap)
+    return Z_DATA_ERROR;
   return Z_OK;
 }
 

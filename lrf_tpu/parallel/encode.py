@@ -40,7 +40,11 @@ from lrf_tpu.ops.patch import patchify
 from lrf_tpu.ops.resample import chroma_downsample, scaled_size
 from lrf_tpu.utils.transfer import to_host
 
-__all__ = ["sharded_qmf_encode_batch", "build_sharded_encoder"]
+__all__ = [
+    "sharded_qmf_encode_batch",
+    "sharded_qmf_encode_batches",
+    "build_sharded_encoder",
+]
 
 
 def _pack_factors(factors, lo: int, bits: int):
@@ -270,25 +274,96 @@ def sharded_qmf_encode_batch(
     if not (isinstance(images, jax.Array) and images.sharding == target):
         images = jax.device_put(jnp.asarray(images), target)
     out = fn(images)
-    encoded_metadata = dict_to_bytes(metadata)
     # Sequential fetch-then-compress. (An overlapped ThreadPoolExecutor
-    # variant deadlocked the tunnel-attached TPU runtime — concurrent host
-    # threads touching jax arrays while fetches are in flight wedge the
-    # single-client transport; revisit on local hardware.)
+    # variant around *jax* calls deadlocked the tunnel-attached TPU runtime —
+    # concurrent host threads touching jax arrays while fetches are in flight
+    # wedge the single-client transport. For overlap that keeps all jax work
+    # on the calling thread see `sharded_qmf_encode_batches`.)
     if pack_spec is not None:
-        packed = to_host(out)  # one fetch for all factors
+        host_out = to_host(out)  # one fetch for all factors
+    else:
+        host_out = [to_host(f) for f in out]  # (B, ., R) each
+    return _serialize_batch(host_out, pack_spec, metadata, b)
+
+
+def _serialize_batch(host_out, pack_spec, metadata, b: int) -> list[bytes]:
+    """Host-only tail of batch encoding: unpack + per-fiber zlib + framing.
+
+    Takes fetched numpy buffers (never jax arrays), so it is safe to run on a
+    worker thread concurrently with device dispatch/fetch on the main thread.
+    """
+    encoded_metadata = dict_to_bytes(metadata)
+    if pack_spec is not None:
         host_factors = _unpack_factors(
-            packed,
+            host_out,
             pack_spec["shapes"],
             pack_spec["dtype"],
             pack_spec["lo"],
             pack_spec["bits"],
         )
     else:
-        host_factors = [to_host(f) for f in out]  # (B, ., R) each
+        host_factors = host_out
     per_factor_blobs = [encode_tensor_batch(f) for f in host_factors]
     streams = []
     for i in range(b):
         encoded_factors = combine_bytes([blobs[i] for blobs in per_factor_blobs])
         streams.append(combine_bytes([encoded_metadata, encoded_factors]))
     return streams
+
+
+def sharded_qmf_encode_batches(
+    batches,
+    mesh: Mesh,
+    quality: Optional[float | tuple] = None,
+    rank: Optional[int | tuple] = None,
+    **config,
+):
+    """Pipelined encode of a sequence of `(B, 3, H, W)` batches.
+
+    Generator yielding `list[bytes]` per input batch, in order, as a 3-stage
+    pipeline: while batch i-1's factors zlib-compress on the serializer
+    worker and batch i's factors stream device→host, batch i+1's encode
+    program already runs on the device (jax dispatch is async, so the next
+    program is enqueued before the previous fetch blocks). All jax work
+    (dispatch, fetch) stays on the calling thread — required by the
+    single-client tunnel transport — while the serializer worker handles
+    only fetched numpy buffers and the native fiber codec (GIL-released C++
+    zlib), so device, interconnect, and host cores run concurrently.
+    Streams are byte-identical to `sharded_qmf_encode_batch` / per-image
+    `qmf_encode`.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    target = NamedSharding(mesh, P("data"))
+
+    def fetch(out, pack_spec):
+        if pack_spec is not None:
+            return to_host(out)
+        return [to_host(f) for f in out]
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        in_flight = None  # (device out, pack_spec, metadata, b) — dispatched
+        pending = None  # future of list[bytes] — serializing
+
+        for images in batches:
+            b = int(images.shape[0])
+            size = (int(images.shape[-2]), int(images.shape[-1]))
+            fn, metadata, pack_spec = build_sharded_encoder(
+                mesh, size, quality=quality, rank=rank, batch=b, **config
+            )
+            if not (isinstance(images, jax.Array) and images.sharding == target):
+                images = jax.device_put(jnp.asarray(images), target)
+            out = fn(images)  # async dispatch: device starts now
+            if in_flight is not None:
+                host_out = fetch(in_flight[0], in_flight[1])
+                if pending is not None:
+                    yield pending.result()
+                pending = pool.submit(_serialize_batch, host_out, *in_flight[1:])
+            in_flight = (out, pack_spec, metadata, b)
+        if in_flight is not None:
+            host_out = fetch(in_flight[0], in_flight[1])
+            if pending is not None:
+                yield pending.result()
+            pending = pool.submit(_serialize_batch, host_out, *in_flight[1:])
+        if pending is not None:
+            yield pending.result()

@@ -7,7 +7,10 @@ import jax
 
 from lrf_tpu.models.qmf import qmf_decode, qmf_encode
 from lrf_tpu.parallel.distributed import allgather_bytes, distributed_encode, shard_range
-from lrf_tpu.parallel.encode import sharded_qmf_encode_batch
+from lrf_tpu.parallel.encode import (
+    sharded_qmf_encode_batch,
+    sharded_qmf_encode_batches,
+)
 from lrf_tpu.parallel.mesh import make_mesh
 
 RNG = np.random.default_rng(21)
@@ -91,6 +94,21 @@ class TestShardedEncode:
             batch, mesh, quality=20, num_iters=2, bounds=(-128, 127), pack=True
         )
         assert plain == packed
+
+    def test_pipelined_batches_identical_streams(self, batch):
+        # The overlapped generator must produce byte-identical streams, in
+        # order, including across batches of different image sizes.
+        mesh = make_mesh(data=8, patch=1)
+        small = batch[:, :, :32, :48]
+        expected = sharded_qmf_encode_batch(
+            batch, mesh, quality=20, num_iters=3
+        ) + sharded_qmf_encode_batch(small, mesh, quality=20, num_iters=3)
+        got = []
+        for streams in sharded_qmf_encode_batches(
+            [batch, small], mesh, quality=20, num_iters=3
+        ):
+            got.extend(streams)
+        assert got == expected
 
     def test_rank_config(self, batch):
         mesh = make_mesh(data=8, patch=1)
