@@ -109,6 +109,39 @@ def decode_matrix(encoded_matrix: bytes) -> np.ndarray:
     return np.stack(fibers, axis=axis)
 
 
+def decode_matrix_batch(encoded_matrices: Sequence[bytes]) -> np.ndarray:
+    """Batched inverse of `encode_matrix` over same-shape streams.
+
+    Returns a `(B, M, N)` stack. All B streams' fibers inflate in ONE native
+    thread-pooled call (per-stream `decode_matrix` pays a pool round trip per
+    image); bytes-level semantics identical to `decode_matrix` per element.
+    """
+    per_stream = []
+    num_fibers = mode = dtype = None
+    for blob in encoded_matrices:
+        encoded_metadata, encoded_fibers = separate_bytes(blob)
+        metadata = bytes_to_dict(encoded_metadata)
+        if num_fibers is None:
+            num_fibers = metadata["num_fibers"]
+            mode = metadata["mode"]
+            dtype = np.dtype(metadata["dtype"])
+        else:
+            assert (
+                metadata["num_fibers"] == num_fibers
+                and metadata["mode"] == mode
+                and np.dtype(metadata["dtype"]) == dtype
+            ), "decode_matrix_batch requires homogeneous streams"
+        per_stream.append(separate_bytes(encoded_fibers, num_payloads=num_fibers))
+
+    all_blobs = [f for fibers in per_stream for f in fibers]
+    decoded = _native.decompress_fibers(all_blobs, dtype, "row")
+    if decoded is None:
+        return np.stack([decode_matrix(b) for b in encoded_matrices])
+    b = len(per_stream)
+    fibers = decoded.reshape(b, num_fibers, -1)
+    return fibers.transpose(0, 2, 1) if mode == "col" else fibers
+
+
 def encode_matrix_batch(tensors: np.ndarray, mode: str = "col") -> list[bytes]:
     """Per-image `encode_matrix` over a `(B, M, N)` stack, one native call.
 

@@ -5,13 +5,15 @@ from lrf_tpu.ops.resample import (
     area_resize,
     nearest_resize,
     chroma_downsample,
+    chroma_downsampling,
     chroma_upsample,
+    chroma_upsampling,
     scaled_size,
 )
 from lrf_tpu.ops.pad import pad_image, unpad_image, pad_amounts
 from lrf_tpu.ops.patch import patchify, depatchify, patchify_uv, depatchify_uv
 from lrf_tpu.ops.quantize import quantize, dequantize, to_dtype, np_dequantize
-from lrf_tpu.ops.common import relative_error, safe_divide, soft_thresholding
+from lrf_tpu.ops.common import prod, relative_error, safe_divide, soft_thresholding
 from lrf_tpu.ops.svd import truncated_svd, svd_balanced_factors
 from lrf_tpu.ops.hosvd import (
     unfold,

@@ -9,6 +9,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def prod(x) -> int:
+    """Product of an iterable of ints (`factorization/utils.py:8`)."""
+    out = 1
+    for v in x:
+        out *= v
+    return out
+
+
 def relative_error(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-16) -> jnp.ndarray:
     """Frobenius relative error over the last two dims (`factorization/utils.py:12`)."""
     num = jnp.sqrt(jnp.sum((x - y) ** 2, axis=(-2, -1)))

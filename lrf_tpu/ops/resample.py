@@ -103,3 +103,10 @@ def chroma_upsample(
     cb = resize(cb, size)
     cr = resize(cr, size)
     return jnp.concatenate([y, cb, cr], axis=-3)
+
+
+# Reference-spelled aliases (`lrf/compression/utils.py:76,98` name these
+# `chroma_downsampling`/`chroma_upsampling`), so reference users can switch
+# without renaming call sites.
+chroma_downsampling = chroma_downsample
+chroma_upsampling = chroma_upsample

@@ -1,0 +1,115 @@
+"""Sharded batch decode: data-parallel QMF stream reconstruction.
+
+Mirror of `lrf_tpu.parallel.encode` for the decode direction (the reference
+decodes strictly one image per call — `lrf/compression/qmf.py:295`). A batch
+of homogeneous QMF streams (same config and image size, e.g. produced by
+`sharded_qmf_encode_batch`) is decoded by ONE jitted program over a mesh:
+
+- host side, all B streams' fiber blobs inflate in a single native
+  thread-pooled zlib call per factor (`decode_matrix_batch`);
+- device side, the reconstruction pipeline (U @ V^T per channel, depatchify,
+  unpad, nearest chroma upsample, YCbCr->RGB, clamp-cast) runs batched and
+  sharded over ``data``, so decode scales across chips like encode.
+
+Per-image results are bit-identical to `lrf_tpu.models.qmf.qmf_decode`
+(same jitted channel pipeline, same container parsing).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lrf_tpu.models.container import (
+    bytes_to_dict,
+    decode_matrix_batch,
+    separate_bytes,
+)
+from lrf_tpu.ops.color import ycbcr_to_rgb
+from lrf_tpu.ops.pad import unpad_image
+from lrf_tpu.ops.patch import depatchify
+from lrf_tpu.ops.quantize import to_dtype
+from lrf_tpu.ops.resample import chroma_upsample
+
+__all__ = ["sharded_qmf_decode_batch"]
+
+
+@lru_cache(maxsize=None)
+def _cached_sharded_decoder(
+    mesh: Mesh, orig_sizes, padded_sizes, patch_size, uv_shapes, out_dtype
+):
+    def decode(*factors):
+        ycbcr = []
+        for i in range(3):
+            u = factors[2 * i].astype(jnp.float32)
+            v = factors[2 * i + 1].astype(jnp.float32)
+            x = jnp.einsum("bmr,bnr->bmn", u, v)
+            channel = depatchify(x, padded_sizes[i], patch_size)
+            channel = unpad_image(channel, orig_sizes[i])
+            ycbcr.append(channel)
+        image = chroma_upsample(tuple(ycbcr), size=orig_sizes[0], mode="nearest")
+        image = ycbcr_to_rgb(image)
+        return to_dtype(image, jnp.dtype(out_dtype))
+
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        decode,
+        in_shardings=(sharding,) * 6,
+        out_shardings=sharding,
+    )
+
+
+def sharded_qmf_decode_batch(
+    streams,
+    mesh: Mesh,
+    out: str = "host",
+):
+    """Decode a list of homogeneous YCbCr-patch QMF streams on a mesh.
+
+    Streams must share one codec config and image size (the batch produced
+    by `sharded_qmf_encode_batch`, or any same-config `qmf_encode` outputs).
+    Returns a `(B, 3, H, W)` array of the original dtype — numpy when
+    ``out="host"`` (default), the sharded on-device `jax.Array` when
+    ``out="device"`` (for device-resident metrics / further processing
+    without a host round trip).
+    """
+    assert out in ("host", "device")
+    assert len(streams) > 0
+    metadata = None
+    per_factor: list[list[bytes]] = [[] for _ in range(6)]
+    for stream in streams:
+        encoded_metadata, encoded_factors = separate_bytes(stream, 2)
+        md = bytes_to_dict(encoded_metadata)
+        if metadata is None:
+            metadata = md
+            assert md["color space"] == "YCbCr" and md["patch"], (
+                "sharded decode currently covers the flagship YCbCr+patch "
+                "format; use qmf_decode for RGB/no-patch streams"
+            )
+        else:
+            assert md == metadata, "streams must share one codec config"
+        for k, blob in enumerate(separate_bytes(encoded_factors, 6)):
+            per_factor[k].append(blob)
+
+    factors = [decode_matrix_batch(blobs) for blobs in per_factor]
+
+    decoder = _cached_sharded_decoder(
+        mesh,
+        tuple(tuple(s) for s in metadata["original size"]),
+        tuple(tuple(s) for s in metadata["padded size"]),
+        tuple(metadata["patch size"]),
+        tuple(f.shape for f in factors),
+        metadata["dtype"],
+    )
+    sharding = NamedSharding(mesh, P("data"))
+    device_factors = [jax.device_put(jnp.asarray(f), sharding) for f in factors]
+    images = decoder(*device_factors)
+    if out == "device":
+        return images
+    from lrf_tpu.utils.transfer import to_host
+
+    return to_host(images)

@@ -110,6 +110,34 @@ class TestShardedEncode:
             got.extend(streams)
         assert got == expected
 
+    def test_sharded_decode_matches_per_image(self, batch):
+        from lrf_tpu.parallel.decode import sharded_qmf_decode_batch
+
+        mesh = make_mesh(data=8, patch=1)
+        streams = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=3)
+        decoded = sharded_qmf_decode_batch(streams, mesh)
+        assert decoded.shape == batch.shape and decoded.dtype == batch.dtype
+        for i, stream in enumerate(streams):
+            assert np.array_equal(decoded[i], qmf_decode(stream))
+
+    def test_sharded_decode_device_output(self, batch):
+        from lrf_tpu.parallel.decode import sharded_qmf_decode_batch
+
+        mesh = make_mesh(data=8, patch=1)
+        streams = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=1)
+        images = sharded_qmf_decode_batch(streams, mesh, out="device")
+        assert isinstance(images, jax.Array)
+        assert np.array_equal(np.asarray(images[0]), qmf_decode(streams[0]))
+
+    def test_sharded_decode_heterogeneous_rejected(self, batch):
+        from lrf_tpu.parallel.decode import sharded_qmf_decode_batch
+
+        mesh = make_mesh(data=8, patch=1)
+        a = qmf_encode(batch[0], quality=20, num_iters=1)
+        b = qmf_encode(batch[1], quality=10, num_iters=1)
+        with pytest.raises(AssertionError):
+            sharded_qmf_decode_batch([a, b], mesh)
+
     def test_rank_config(self, batch):
         mesh = make_mesh(data=8, patch=1)
         streams = sharded_qmf_encode_batch(batch, mesh, rank=(6, 3, 3), num_iters=2)
