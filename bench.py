@@ -100,6 +100,36 @@ def main():
     mpix_s = rates[windows // 2]
     dt = mpix / mpix_s
 
+    # Secondary visibility numbers (stderr only): device-only encode compute
+    # and batched on-device decode, both synced via a scalar probe so the
+    # tunnel's bulk-transfer weather stays out of the measurement.
+    from lrf_tpu.parallel.decode import sharded_qmf_decode_batch
+    from lrf_tpu.parallel.encode import build_sharded_encoder
+
+    enc_fn, _, _ = build_sharded_encoder(
+        mesh, (H, W), quality=QUALITY, batch=BATCH
+    )
+    probe = jax.jit(lambda x: jnp.sum(enc_fn(x).astype(jnp.uint32) & jnp.uint32(1)))
+    float(probe(device_batch))
+    t0 = time.perf_counter()
+    n = 20
+    vals = [probe(device_batch) for _ in range(n)]
+    _ = sum(float(v) for v in vals)
+    dev_ms = (time.perf_counter() - t0) / n * 1000
+    log(f"device-only encode: {dev_ms:.1f} ms/batch ({mpix / dev_ms * 1000:.0f} Mpixel/s)")
+
+    imgs = sharded_qmf_decode_batch(streams, mesh, out="device")  # compile
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        imgs = sharded_qmf_decode_batch(streams, mesh, out="device")
+        float(jnp.sum(imgs[:, :, 0, 0].astype(jnp.uint32)))
+    dec_ms = (time.perf_counter() - t0) / n * 1000
+    log(
+        f"batched decode (streams->device images): {dec_ms:.1f} ms/batch "
+        f"({mpix / dec_ms * 1000:.0f} Mpixel/s)"
+    )
+
     bpp = bits_per_pixel((H, W), streams[0])
     dec = qmf_decode(streams[0])
     log(

@@ -40,9 +40,21 @@ __all__ = ["sharded_qmf_decode_batch"]
 
 @lru_cache(maxsize=None)
 def _cached_sharded_decoder(
-    mesh: Mesh, orig_sizes, padded_sizes, patch_size, uv_shapes, out_dtype
+    mesh: Mesh, orig_sizes, padded_sizes, patch_size, uv_shapes, in_dtype, out_dtype
 ):
-    def decode(*factors):
+    # The six factor arrays travel host->device as ONE flat `(B, total)`
+    # buffer (a single transfer — on tunnel/PCIe-attached devices per-array
+    # uploads each pay a round trip) and are sliced/reshaped on device,
+    # which XLA folds into the reconstruction fusion.
+    def decode(flat):
+        factors = []
+        offset = 0
+        for shape in uv_shapes:  # (M, R) per factor, batch-major flat
+            n = shape[0] * shape[1]
+            factors.append(
+                flat[:, offset : offset + n].reshape((-1,) + shape)
+            )
+            offset += n
         ycbcr = []
         for i in range(3):
             u = factors[2 * i].astype(jnp.float32)
@@ -56,11 +68,7 @@ def _cached_sharded_decoder(
         return to_dtype(image, jnp.dtype(out_dtype))
 
     sharding = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        decode,
-        in_shardings=(sharding,) * 6,
-        out_shardings=sharding,
-    )
+    return jax.jit(decode, in_shardings=(sharding,), out_shardings=sharding)
 
 
 def sharded_qmf_decode_batch(
@@ -96,18 +104,20 @@ def sharded_qmf_decode_batch(
             per_factor[k].append(blob)
 
     factors = [decode_matrix_batch(blobs) for blobs in per_factor]
+    b = len(streams)
+    flat = np.concatenate([f.reshape(b, -1) for f in factors], axis=1)
 
     decoder = _cached_sharded_decoder(
         mesh,
         tuple(tuple(s) for s in metadata["original size"]),
         tuple(tuple(s) for s in metadata["padded size"]),
         tuple(metadata["patch size"]),
-        tuple(f.shape for f in factors),
+        tuple(f.shape[1:] for f in factors),
+        factors[0].dtype.name,
         metadata["dtype"],
     )
     sharding = NamedSharding(mesh, P("data"))
-    device_factors = [jax.device_put(jnp.asarray(f), sharding) for f in factors]
-    images = decoder(*device_factors)
+    images = decoder(jax.device_put(jnp.asarray(flat), sharding))
     if out == "device":
         return images
     from lrf_tpu.utils.transfer import to_host
