@@ -118,11 +118,12 @@ def main():
     dev_ms = (time.perf_counter() - t0) / n * 1000
     log(f"device-only encode: {dev_ms:.1f} ms/batch ({mpix / dev_ms * 1000:.0f} Mpixel/s)")
 
+    from lrf_tpu.parallel.decode import sharded_qmf_decode_batches
+
     imgs = sharded_qmf_decode_batch(streams, mesh, out="device")  # compile
     t0 = time.perf_counter()
     n = 10
-    for _ in range(n):
-        imgs = sharded_qmf_decode_batch(streams, mesh, out="device")
+    for imgs in sharded_qmf_decode_batches([streams] * n, mesh, out="device"):
         float(jnp.sum(imgs[:, :, 0, 0].astype(jnp.uint32)))
     dec_ms = (time.perf_counter() - t0) / n * 1000
     log(

@@ -6,7 +6,10 @@ from lrf_tpu.parallel.encode import (
     sharded_qmf_encode_batch,
     sharded_qmf_encode_batches,
 )
-from lrf_tpu.parallel.decode import sharded_qmf_decode_batch
+from lrf_tpu.parallel.decode import (
+    sharded_qmf_decode_batch,
+    sharded_qmf_decode_batches,
+)
 from lrf_tpu.parallel.distributed import (
     initialize,
     shard_range,

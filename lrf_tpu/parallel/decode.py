@@ -35,7 +35,7 @@ from lrf_tpu.ops.patch import depatchify
 from lrf_tpu.ops.quantize import to_dtype
 from lrf_tpu.ops.resample import chroma_upsample
 
-__all__ = ["sharded_qmf_decode_batch"]
+__all__ = ["sharded_qmf_decode_batch", "sharded_qmf_decode_batches"]
 
 
 @lru_cache(maxsize=None)
@@ -86,6 +86,17 @@ def sharded_qmf_decode_batch(
     without a host round trip).
     """
     assert out in ("host", "device")
+    flat, metadata, shapes = _inflate_streams(streams)
+    return _device_decode(flat, metadata, shapes, mesh, out)
+
+
+def _inflate_streams(streams):
+    """Host stage: parse containers + inflate all fibers (native zlib).
+
+    Touches no jax state, so it can run on a worker thread concurrently
+    with device work on the calling thread. Returns the flat batch-major
+    `(B, total)` factor buffer, the shared metadata, and per-factor shapes.
+    """
     assert len(streams) > 0
     metadata = None
     per_factor: list[list[bytes]] = [[] for _ in range(6)]
@@ -106,14 +117,17 @@ def sharded_qmf_decode_batch(
     factors = [decode_matrix_batch(blobs) for blobs in per_factor]
     b = len(streams)
     flat = np.concatenate([f.reshape(b, -1) for f in factors], axis=1)
+    return flat, metadata, tuple(f.shape[1:] for f in factors)
 
+
+def _device_decode(flat, metadata, shapes, mesh: Mesh, out: str):
     decoder = _cached_sharded_decoder(
         mesh,
         tuple(tuple(s) for s in metadata["original size"]),
         tuple(tuple(s) for s in metadata["padded size"]),
         tuple(metadata["patch size"]),
-        tuple(f.shape[1:] for f in factors),
-        factors[0].dtype.name,
+        shapes,
+        flat.dtype.name,
         metadata["dtype"],
     )
     sharding = NamedSharding(mesh, P("data"))
@@ -123,3 +137,30 @@ def sharded_qmf_decode_batch(
     from lrf_tpu.utils.transfer import to_host
 
     return to_host(images)
+
+
+def sharded_qmf_decode_batches(
+    stream_batches,
+    mesh: Mesh,
+    out: str = "host",
+):
+    """Pipelined decode of a sequence of homogeneous stream batches.
+
+    Generator yielding one decoded `(B, 3, H, W)` array per input batch, in
+    order. Host fiber inflation of batch i+1 (worker thread, native zlib,
+    no jax state) overlaps the device upload/reconstruction of batch i
+    (calling thread — all jax work stays here, as the single-client tunnel
+    transport requires). Mirror of `sharded_qmf_encode_batches`.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    assert out in ("host", "device")
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = None
+        for streams in stream_batches:
+            fut = pool.submit(_inflate_streams, streams)
+            if pending is not None:
+                yield _device_decode(*pending.result(), mesh, out)
+            pending = fut
+        if pending is not None:
+            yield _device_decode(*pending.result(), mesh, out)

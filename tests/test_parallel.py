@@ -129,6 +129,21 @@ class TestShardedEncode:
         assert isinstance(images, jax.Array)
         assert np.array_equal(np.asarray(images[0]), qmf_decode(streams[0]))
 
+    def test_pipelined_decode_matches_per_image(self, batch):
+        from lrf_tpu.parallel.decode import sharded_qmf_decode_batches
+
+        mesh = make_mesh(data=8, patch=1)
+        small = batch[:, :, :32, :48]
+        batches = [
+            sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=2),
+            sharded_qmf_encode_batch(small, mesh, quality=15, num_iters=2),
+        ]
+        outs = list(sharded_qmf_decode_batches(batches, mesh))
+        assert len(outs) == 2
+        for streams, decoded in zip(batches, outs):
+            for i, stream in enumerate(streams):
+                assert np.array_equal(decoded[i], qmf_decode(stream))
+
     def test_sharded_decode_heterogeneous_rejected(self, batch):
         from lrf_tpu.parallel.decode import sharded_qmf_decode_batch
 
