@@ -109,13 +109,23 @@ def main():
     enc_fn, _, _ = build_sharded_encoder(
         mesh, (H, W), quality=QUALITY, batch=BATCH
     )
-    probe = jax.jit(lambda x: jnp.sum(enc_fn(x).astype(jnp.uint32) & jnp.uint32(1)))
+    reps = 20
+
+    @jax.jit
+    def probe(x):
+        # Chain reps inside ONE program so per-dispatch tunnel round trips
+        # stay out of the device-time measurement; roll the input by the
+        # loop index so the encode isn't loop-invariant (XLA would hoist it).
+        def body(i, acc):
+            y = enc_fn(jnp.roll(x, i, axis=-1))
+            return acc + jnp.sum(y.astype(jnp.uint32) & jnp.uint32(1))
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
     float(probe(device_batch))
     t0 = time.perf_counter()
-    n = 20
-    vals = [probe(device_batch) for _ in range(n)]
-    _ = sum(float(v) for v in vals)
-    dev_ms = (time.perf_counter() - t0) / n * 1000
+    float(probe(device_batch))
+    dev_ms = (time.perf_counter() - t0) / reps * 1000
     log(f"device-only encode: {dev_ms:.1f} ms/batch ({mpix / dev_ms * 1000:.0f} Mpixel/s)")
 
     from lrf_tpu.parallel.decode import sharded_qmf_decode_batches
