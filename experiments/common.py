@@ -95,13 +95,34 @@ def run_over_dataset(
     save_dir: str,
     prefix: str,
     verbose: bool = True,
+    resume: bool = True,
 ) -> list[dict]:
+    """Sweep `per_image` over a dataset with checkpoint/resume.
+
+    Unlike the reference drivers (which write results once at the very end —
+    `experiments/comparison/eval.py:116`; a crash loses hours of sweeping),
+    the results file is rewritten atomically after every image, and with
+    ``resume=True`` a restart skips images whose rows are already present.
+    """
+    from lrf_tpu.utils.config import read_config
+
     results: list[dict] = []
+    done: set[str] = set()
+    results_path = os.path.join(save_dir, f"{prefix}_results.json")
+    if resume and os.path.exists(results_path):
+        results = read_config(results_path)
+        done = {row["data"] for row in results}
+        if verbose and done:
+            print(f"resuming: {len(done)} images already swept", flush=True)
+
     for path in dataset_images(data_dir):
         image_id = os.path.basename(path)
+        if image_id in done:
+            continue
         image = read_image(path)
         rows = per_image(image, image_id)
         results.extend(rows)
+        save_config(results, save_dir=save_dir, prefix=prefix)  # checkpoint
         if verbose:
             print(f"image {image_id}: {len(rows)} rows", flush=True)
     save_config(results, save_dir=save_dir, prefix=prefix)

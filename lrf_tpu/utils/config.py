@@ -61,8 +61,13 @@ def save_config(
     if save_dir is None:
         raise FileNotFoundError("Save directory must be specified")
     os.makedirs(save_dir, exist_ok=True)
-    with open(os.path.join(save_dir, f"{prefix}_results.json"), "w") as f:
+    # Atomic write: sweep drivers checkpoint this file after every image, so
+    # a crash mid-dump must not corrupt the resume state.
+    path = os.path.join(save_dir, f"{prefix}_results.json")
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
         json.dump(data, f, indent=4, default=json_serializer)
+    os.replace(tmp, path)
 
 
 def read_config(file_name: str):

@@ -42,6 +42,40 @@ class TestSweeps:
         qmf_row = [r for r in loaded if r["method"] == "QMF"][0]
         assert qmf_row["dtype"] == np.dtype(np.int8)
 
+    def test_run_over_dataset_checkpoints_and_resumes(self, kodim01, tmp_path):
+        from PIL import Image
+
+        from common import run_over_dataset
+
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        for name in ("a.png", "b.png", "c.png"):
+            Image.fromarray(
+                np.ascontiguousarray(kodim01[:, :16, :16].transpose(1, 2, 0))
+            ).save(data_dir / name)
+
+        calls = []
+
+        def per_image(image, image_id):
+            calls.append(image_id)
+            if image_id == "c.png" and calls.count("c.png") == 1:
+                raise RuntimeError("simulated crash")
+            return [{"data": image_id, "method": "X", "PSNR (dB)": 1.0}]
+
+        with pytest.raises(RuntimeError):
+            run_over_dataset(
+                str(data_dir), per_image, str(tmp_path), "ck", verbose=False
+            )
+        # a and b were checkpointed before the crash
+        partial = read_config(str(tmp_path / "ck_results.json"))
+        assert {r["data"] for r in partial} == {"a.png", "b.png"}
+        # resume skips completed images and finishes c
+        results = run_over_dataset(
+            str(data_dir), per_image, str(tmp_path), "ck", verbose=False
+        )
+        assert {r["data"] for r in results} == {"a.png", "b.png", "c.png"}
+        assert calls == ["a.png", "b.png", "c.png", "c.png"]
+
     def test_reads_reference_results_format(self):
         path = "/root/reference/experiments/examples/kodim01/kodim01_results.json"
         rows = read_config(path)
