@@ -160,6 +160,66 @@ class TestShardedEncode:
         assert streams[0] == single
 
 
+class TestMultiProcess:
+    def test_two_process_distributed_encode(self, tmp_path):
+        """Genuine 2-process jax.distributed CPU cluster (Gloo collectives):
+        each process encodes its dataset shard; ordered gather must match
+        single-process encodes byte-for-byte."""
+        import os
+        import socket
+        import subprocess
+        import sys as _sys
+
+        from lrf_tpu.models.container import separate_bytes
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        out_path = tmp_path / "streams.bin"
+        worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+        env = {
+            k: v
+            for k, v in os.environ.items()
+            if not k.startswith(("JAX_", "XLA_"))
+        }
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, worker, str(i), "2", str(port), str(out_path)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+            for i in range(2)
+        ]
+        for p in procs:
+            _, err = p.communicate(timeout=240)
+            assert p.returncode == 0, err.decode()[-2000:]
+
+        blob = out_path.read_bytes()
+        *streams, tail = separate_bytes(blob, 5)
+        assert tail == b"end"
+
+        # Batched worker encodes and the single-image reference encode are
+        # different XLA programs; float accumulation can flip an occasional
+        # BCD round() (same contract as
+        # test_data_parallel_equivalent_to_single_device): most streams
+        # byte-identical, the rest decode to equivalent quality.
+        from lrf_tpu.utils.metrics import psnr
+
+        rng = np.random.default_rng(7)
+        dataset = rng.integers(0, 256, (4, 3, 32, 48)).astype(np.uint8)
+        n_identical = 0
+        for i, stream in enumerate(streams):
+            expected = qmf_encode(dataset[i], quality=20, num_iters=2)
+            if stream == expected:
+                n_identical += 1
+            else:
+                p_single = float(psnr(dataset[i], qmf_decode(expected)))
+                p_shard = float(psnr(dataset[i], qmf_decode(stream)))
+                assert abs(p_single - p_shard) < 0.2, (i, p_single, p_shard)
+        assert n_identical >= len(dataset) - 1, f"only {n_identical} byte-identical"
+
+
 class TestMultiHostHelpers:
     def test_shard_range_partition(self):
         # The per-process slices must tile [0, n) in order.
