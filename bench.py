@@ -56,6 +56,7 @@ def main():
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from lrf_tpu.models.container import set_fiber_coder
     from lrf_tpu.models.qmf import qmf_decode
     from lrf_tpu.parallel.encode import (
         sharded_qmf_encode_batch,
@@ -63,6 +64,11 @@ def main():
     )
     from lrf_tpu.parallel.mesh import make_mesh
     from lrf_tpu.utils.metrics import bits_per_pixel, psnr
+
+    # libdeflate fiber coder: ~4-5x faster than zlib-9 on the 2-core host at
+    # equal-or-smaller stream size; output is still a standard zlib stream
+    # the reference decoder reads (tests/test_container.py pins this).
+    set_fiber_coder("deflate")
 
     devices = jax.devices()
     log(f"devices: {devices}")
@@ -142,6 +148,14 @@ def main():
     )
 
     bpp = bits_per_pixel((H, W), streams[0])
+    set_fiber_coder("zlib")
+    z9 = sharded_qmf_encode_batch(device_batch, mesh, quality=QUALITY)
+    set_fiber_coder("deflate")
+    log(
+        f"stream size: deflate {sum(map(len, streams))} B vs zlib-9 "
+        f"{sum(map(len, z9))} B per batch "
+        f"({sum(map(len, streams)) / sum(map(len, z9)) * 100:.1f}%)"
+    )
     dec = qmf_decode(streams[0])
     log(
         f"encode (HBM-resident): {dt*1000:.1f} ms/batch ({dt/BATCH*1000:.2f} ms/image), "

@@ -9,6 +9,8 @@ from lrf_tpu.models.container import (
     decode_matrix,
     encode_tensor,
     decode_tensor,
+    set_fiber_coder,
+    get_fiber_coder,
 )
 from lrf_tpu.models.qmf import qmf_encode, qmf_decode, qmf_rank
 from lrf_tpu.models.svd import svd_encode, svd_decode, svd_rank, svd_compression_ratio

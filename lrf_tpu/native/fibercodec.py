@@ -33,15 +33,16 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    # int compress_fibers(const uint8_t* data, int64_t num_fibers,
-    #                     int64_t fiber_bytes, int level,
-    #                     uint8_t* out, int64_t out_capacity_per_fiber,
-    #                     int64_t* out_lens)
-    lib.lrf_compress_fibers.restype = ctypes.c_int
-    lib.lrf_compress_fibers.argtypes = [
+    # int compress_fibers2(const uint8_t* data, int64_t num_fibers,
+    #                      int64_t fiber_bytes, int level, int backend,
+    #                      uint8_t* out, int64_t out_capacity_per_fiber,
+    #                      int64_t* out_lens)
+    lib.lrf_compress_fibers2.restype = ctypes.c_int
+    lib.lrf_compress_fibers2.argtypes = [
         ctypes.c_char_p,
         ctypes.c_int64,
         ctypes.c_int64,
+        ctypes.c_int,
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
@@ -66,8 +67,18 @@ def available() -> bool:
     return _load() is not None
 
 
-def compress_fibers(matrix: np.ndarray, mode: str) -> Optional[list[bytes]]:
-    """zlib-9 compress each fiber (column/row) of a 2-D array. None if no lib."""
+_BACKENDS = {"zlib": 0, "deflate": 1}
+
+
+def compress_fibers(
+    matrix: np.ndarray, mode: str, level: int = 9, backend: str = "zlib"
+) -> Optional[list[bytes]]:
+    """DEFLATE each fiber (column/row) of a 2-D array. None if no lib.
+
+    backend "zlib" is byte-identical to CPython `zlib.compress(fiber, level)`;
+    backend "deflate" uses libdeflate — faster and equal-or-smaller output,
+    still a standard zlib stream (the reference decoder reads it unchanged).
+    """
     lib = _load()
     if lib is None:
         return None
@@ -82,11 +93,12 @@ def compress_fibers(matrix: np.ndarray, mode: str) -> Optional[list[bytes]]:
     cap = fiber_bytes + fiber_bytes // 1000 + 64
     out = np.empty(num_fibers * cap, dtype=np.uint8)
     out_lens = np.empty(num_fibers, dtype=np.int64)
-    rc = lib.lrf_compress_fibers(
+    rc = lib.lrf_compress_fibers2(
         fibers_arr.tobytes(),
         num_fibers,
         fiber_bytes,
-        9,
+        level,
+        _BACKENDS[backend],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         cap,
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -82,3 +82,19 @@ class TestReferenceParity:
         np.testing.assert_array_equal(decode_matrix(theirs), m)
         ours = encode_matrix(m)
         np.testing.assert_array_equal(ref_lrf.decode_matrix(ours).numpy(), m)
+
+    def test_reference_decodes_deflate_streams(self, ref_lrf):
+        """libdeflate-coded fibers are standard zlib streams; the reference
+        decoder must read them unchanged (and they must be no larger)."""
+        import pytest
+
+        from lrf_tpu.native import fibercodec
+
+        if not fibercodec.available():
+            pytest.skip("libfibercodec.so not built")
+        m = RNG.integers(-16, 16, (512, 7)).astype(np.int8)
+        ours = encode_matrix(m, coder="deflate")
+        np.testing.assert_array_equal(ref_lrf.decode_matrix(ours).numpy(), m)
+        nd = RNG.integers(-16, 16, (2, 33, 4)).astype(np.int8)
+        blob = encode_tensor(nd, coder="deflate")
+        np.testing.assert_array_equal(ref_lrf.decode_tensor(blob).numpy(), nd)
