@@ -23,10 +23,35 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "libfibercodec.so")
 _lib = None
 
 
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """Best-effort `make` of the shared library (it is gitignored, so fresh
+    checkouts don't have it and would silently lose the native fast path)."""
+    global _build_attempted
+    if _build_attempted or os.environ.get("LRF_TPU_NO_NATIVE_BUILD"):
+        return
+    _build_attempted = True
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(_LIB_PATH)],
+            check=False,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if not os.path.exists(_LIB_PATH):
+        _try_build()
     if not os.path.exists(_LIB_PATH):
         return None
     try:
