@@ -34,19 +34,34 @@ from lrf_tpu.ops.pad import unpad_image
 from lrf_tpu.ops.patch import depatchify
 from lrf_tpu.ops.quantize import to_dtype
 from lrf_tpu.ops.resample import chroma_upsample
+from lrf_tpu.parallel.encode import _pack_params
 
 __all__ = ["sharded_qmf_decode_batch", "sharded_qmf_decode_batches"]
 
 
 @lru_cache(maxsize=None)
 def _cached_sharded_decoder(
-    mesh: Mesh, orig_sizes, padded_sizes, patch_size, uv_shapes, in_dtype, out_dtype
+    mesh: Mesh, orig_sizes, padded_sizes, patch_size, uv_shapes, in_dtype,
+    out_dtype, pack=None,
 ):
     # The six factor arrays travel host->device as ONE flat `(B, total)`
     # buffer (a single transfer — on tunnel/PCIe-attached devices per-array
     # uploads each pay a round trip) and are sliced/reshaped on device,
-    # which XLA folds into the reconstruction fusion.
+    # which XLA folds into the reconstruction fusion. When `pack` is set
+    # (`(lo, bits, total)` from the stream's bounds metadata), the buffer
+    # arrives bit-packed (~bits/8 bytes per value instead of 1) and is
+    # unpacked on device with shift/mask ops that XLA fuses away.
     def decode(flat):
+        if pack is not None:
+            lo, bits, total = pack
+            vals_per_word = 30 // bits
+            mask = jnp.uint32((1 << bits) - 1)
+            shifts = jnp.arange(vals_per_word, dtype=jnp.uint32) * bits
+            vals = (flat[:, :, None] >> shifts[None, None, :]) & mask
+            flat = (
+                vals.reshape(flat.shape[0], -1)[:, :total].astype(jnp.int32)
+                + lo
+            ).astype(jnp.dtype(in_dtype))
         factors = []
         offset = 0
         for shape in uv_shapes:  # (M, R) per factor, batch-major flat
@@ -86,8 +101,7 @@ def sharded_qmf_decode_batch(
     without a host round trip).
     """
     assert out in ("host", "device")
-    flat, metadata, shapes = _inflate_streams(streams)
-    return _device_decode(flat, metadata, shapes, mesh, out)
+    return _device_decode(*_inflate_streams(streams), mesh, out)
 
 
 def _inflate_streams(streams):
@@ -117,18 +131,47 @@ def _inflate_streams(streams):
     factors = [decode_matrix_batch(blobs) for blobs in per_factor]
     b = len(streams)
     flat = np.concatenate([f.reshape(b, -1) for f in factors], axis=1)
-    return flat, metadata, tuple(f.shape[1:] for f in factors)
+    shapes = tuple(f.shape[1:] for f in factors)
+
+    # Bit-pack the H2D upload when the factors fit their advertised bounds
+    # (always true for >=1 BCD sweep; iters=0 streams hold unprojected SVD
+    # factors and upload unpacked). Pack params come from metadata, not the
+    # data, so the jitted decoder is shared across batches of one config.
+    pack = None
+    bounds = metadata.get("bounds")
+    if bounds is not None and flat.dtype.kind == "i":
+        lo, bits = _pack_params(bounds)
+        hi = lo + (1 << bits) - 1
+        if bits < 8 and flat.min() >= lo and flat.max() <= hi:
+            total = flat.shape[1]
+            vals_per_word = 30 // bits
+            padded = -(-total // vals_per_word) * vals_per_word
+            vals = (flat.astype(np.int64) - lo).astype(np.uint32)
+            if padded != total:
+                vals = np.concatenate(
+                    [vals, np.zeros((b, padded - total), np.uint32)], axis=1
+                )
+            shifts = (np.arange(vals_per_word, dtype=np.uint32) * bits)[
+                None, None, :
+            ]
+            packed = np.bitwise_or.reduce(
+                vals.reshape(b, -1, vals_per_word) << shifts, axis=2
+            )
+            pack = (lo, bits, total)
+            return packed, metadata, shapes, flat.dtype.name, pack
+    return flat, metadata, shapes, flat.dtype.name, pack
 
 
-def _device_decode(flat, metadata, shapes, mesh: Mesh, out: str):
+def _device_decode(flat, metadata, shapes, in_dtype, pack, mesh: Mesh, out: str):
     decoder = _cached_sharded_decoder(
         mesh,
         tuple(tuple(s) for s in metadata["original size"]),
         tuple(tuple(s) for s in metadata["padded size"]),
         tuple(metadata["patch size"]),
         shapes,
-        flat.dtype.name,
+        in_dtype,
         metadata["dtype"],
+        pack,
     )
     sharding = NamedSharding(mesh, P("data"))
     images = decoder(jax.device_put(jnp.asarray(flat), sharding))

@@ -144,6 +144,27 @@ class TestShardedEncode:
             for i, stream in enumerate(streams):
                 assert np.array_equal(decoded[i], qmf_decode(stream))
 
+    def test_decode_upload_packing(self, batch):
+        # Default bounds (-16,15) -> 5-bit packed H2D upload; num_iters=0
+        # streams hold unprojected SVD factors and must fall back unpacked.
+        from lrf_tpu.parallel.decode import _inflate_streams
+
+        mesh = make_mesh(data=8, patch=1)
+        streams = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=2)
+        flat, _, _, in_dtype, pack = _inflate_streams(streams)
+        assert pack is not None and pack[:2] == (-16, 5)
+        assert flat.dtype == np.uint32 and in_dtype == "int8"
+
+        raw = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=0)
+        flat0, _, _, _, pack0 = _inflate_streams(raw)
+        if pack0 is None:  # SVD factors exceeded the bounds' bit budget
+            assert flat0.dtype == np.int8
+        from lrf_tpu.parallel.decode import sharded_qmf_decode_batch
+
+        decoded = sharded_qmf_decode_batch(raw, mesh)
+        for i, stream in enumerate(raw):
+            assert np.array_equal(decoded[i], qmf_decode(stream))
+
     def test_sharded_decode_heterogeneous_rejected(self, batch):
         from lrf_tpu.parallel.decode import sharded_qmf_decode_batch
 
