@@ -92,8 +92,13 @@ def main():
     # fetch of batch i, and host fiber-zlib of batch i-1 all overlap
     # (sharded_qmf_encode_batches). The TPU tunnel's latency fluctuates on a
     # seconds timescale, so measure several windows and report the median.
-    iters, windows = 8, 5
+    iters, windows = 8, 7
     rates = []
+    # discarded warm-up window: serializer thread pool + deflate state spin-up
+    for streams in sharded_qmf_encode_batches(
+        [device_batch] * iters, mesh, quality=QUALITY
+    ):
+        pass
     for w in range(windows):
         t0 = time.perf_counter()
         for streams in sharded_qmf_encode_batches(

@@ -24,6 +24,13 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/lrf_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+# The axon TPU plugin force-prepends itself to jax_platforms and ignores
+# JAX_PLATFORMS, so honor an explicit override here, before any device use.
+# (LRF_TPU_PLATFORM=cpu runs a sweep on host cores — e.g. to keep the
+# single-client TPU tunnel free for a concurrent bench.)
+if os.environ.get("LRF_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LRF_TPU_PLATFORM"])
+
 import lrf_tpu
 from lrf_tpu.utils.config import save_config
 from lrf_tpu.utils.eval import eval_compression, read_image
