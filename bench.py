@@ -182,7 +182,7 @@ def main():
     )
 
 
-def supervise(retries: int = 3, timeout_s: int = 300) -> int:
+def supervise(retries: int = 3, timeout_s: int = 450) -> int:
     """Run the measurement in a killable child, retrying on tunnel hangs.
 
     The tunnel-attached TPU in this environment occasionally deadlocks a
