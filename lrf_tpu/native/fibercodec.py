@@ -28,22 +28,43 @@ _build_attempted = False
 
 def _try_build() -> None:
     """Best-effort `make` of the shared library (it is gitignored, so fresh
-    checkouts don't have it and would silently lose the native fast path)."""
+    checkouts don't have it and would silently lose the native fast path).
+
+    Failures are surfaced as a one-time `RuntimeWarning` carrying the build
+    stderr tail — callers still fall back to pure Python, but a broken
+    toolchain no longer loses the fast path silently. The Makefile builds to
+    a temp name and renames into place, so concurrent builders never dlopen
+    a half-written .so.
+    """
     global _build_attempted
     if _build_attempted or os.environ.get("LRF_TPU_NO_NATIVE_BUILD"):
         return
     _build_attempted = True
     import subprocess
+    import warnings
 
     try:
-        subprocess.run(
+        proc = subprocess.run(
             ["make", "-C", os.path.dirname(_LIB_PATH)],
             check=False,
             capture_output=True,
             timeout=120,
         )
-    except Exception:
-        pass
+        if proc.returncode != 0:
+            tail = proc.stderr.decode(errors="replace")[-500:]
+            warnings.warn(
+                "native fiber codec build failed (falling back to the "
+                f"pure-Python coder):\n{tail}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    except Exception as exc:
+        warnings.warn(
+            "native fiber codec build failed (falling back to the "
+            f"pure-Python coder): {exc!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def _load():

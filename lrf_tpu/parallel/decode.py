@@ -17,6 +17,7 @@ Per-image results are bit-identical to `lrf_tpu.models.qmf.qmf_decode`
 
 from __future__ import annotations
 
+import json
 from functools import lru_cache
 
 import jax
@@ -37,6 +38,9 @@ from lrf_tpu.ops.resample import chroma_upsample
 from lrf_tpu.parallel.encode import _pack_params
 
 __all__ = ["sharded_qmf_decode_batch", "sharded_qmf_decode_batches"]
+
+# Per-config (metadata signature) bit-pack decisions — see _inflate_streams.
+_PACK_DECISIONS: dict = {}
 
 
 @lru_cache(maxsize=None)
@@ -135,14 +139,22 @@ def _inflate_streams(streams):
 
     # Bit-pack the H2D upload when the factors fit their advertised bounds
     # (always true for >=1 BCD sweep; iters=0 streams hold unprojected SVD
-    # factors and upload unpacked). Pack params come from metadata, not the
-    # data, so the jitted decoder is shared across batches of one config.
+    # factors and upload unpacked). The decision is CACHED per codec config
+    # (metadata signature): the first batch of a config decides, so one
+    # config maps to one compiled decoder across a pipeline run. The cheap
+    # in-bounds scan is still performed per batch as a correctness guard —
+    # a batch that violates a cached pack=True decision (possible only for
+    # iters=0 streams) falls back to the unpacked decoder rather than
+    # corrupting values.
     pack = None
     bounds = metadata.get("bounds")
     if bounds is not None and flat.dtype.kind == "i":
         lo, bits = _pack_params(bounds)
         hi = lo + (1 << bits) - 1
-        if bits < 8 and flat.min() >= lo and flat.max() <= hi:
+        config_key = json.dumps(metadata, sort_keys=True)
+        in_bounds = bool(flat.min() >= lo and flat.max() <= hi)
+        decision = _PACK_DECISIONS.setdefault(config_key, bits < 8 and in_bounds)
+        if decision and in_bounds:
             total = flat.shape[1]
             vals_per_word = 30 // bits
             padded = -(-total // vals_per_word) * vals_per_word

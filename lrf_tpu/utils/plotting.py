@@ -1,12 +1,23 @@
 """LOESS smoothing and rate-distortion plotting.
 
-Re-implements the reference's RD-curve pipeline (`lrf/utils/misc.py:276-578`
-in pashtari/lrf), which defines how its published curves are produced:
+Implements the analysis behaviors that define the reference's published RD
+curves (`lrf/utils/misc.py:276-578` in pashtari/lrf) with an independent,
+fully vectorized design:
 
-- `LOESS`: locally-weighted polynomial regression with tricube weights over
-  the k = ceil(frac * n) nearest neighbours, polynomial degree 1/2 via a
-  Vandermonde design matrix, and leave-one-out cross-validated grid search
-  over (frac, degree).
+- `LOESS`: locally-weighted polynomial regression. The behavioral contract
+  (matching the reference) is: tricube weights over the k = ceil(frac * n)
+  nearest neighbours with the k-th distance as the span, polynomial degree
+  1 or 2, per-query weighted least squares where the weight enters the
+  residual *linearly* (i.e. effective weighting by w^2 in the normal
+  equations), and leave-one-out cross-validated grid search over
+  (frac, degree). The implementation here shares no structure with the
+  reference's per-point Python loop: neighbourhoods are realized as a dense
+  query-by-sample tricube weight matrix (points at or beyond the span get
+  exactly zero weight, so explicit k-NN index selection is unnecessary),
+  all query fits solve one batched, query-centered normal-equation system,
+  and LOOCV evaluates every held-out point in a single pass by masking the
+  weight matrix diagonal instead of refitting n times — O(n^2) work total
+  versus the reference's O(n^2) *model refits*.
 - `Plot`: group the raw sweep rows by (data, method), LOESS-interpolate each
   group onto a common bpp grid (grid-searching frac in 0.15..0.65 step 0.1,
   degree in {1, 2} like `utils/misc.py:463`), mark extrapolated grid points,
@@ -30,8 +41,61 @@ import numpy as np
 __all__ = ["LOESS", "Plot"]
 
 
+def _tricube_weights(dist: np.ndarray, k: int) -> np.ndarray:
+    """Dense (Q, N) tricube weight matrix for k-nearest-neighbour LOESS.
+
+    For each query row, the span is the k-th smallest distance; the tricube
+    kernel (1 - (d/span)^3)^3 vanishes for d >= span, so weighting *all*
+    samples is exactly equivalent to selecting the k nearest first (boundary
+    ties all receive weight zero either way). Rows whose span is zero
+    (duplicate abscissae) degenerate to indicator weights on the zero-distance
+    samples.
+    """
+    k = min(max(k, 1), dist.shape[1])
+    span = np.partition(dist, k - 1, axis=1)[:, k - 1 : k]  # (Q, 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(span > 0, dist / span, np.where(dist == 0, 0.0, np.inf))
+    w = 1.0 - r**3
+    np.clip(w, 0.0, None, out=w)
+    return w**3
+
+
+def _fit_predict(
+    x: np.ndarray,
+    y: np.ndarray,
+    weights: np.ndarray,
+    x_query: np.ndarray,
+    degree: int,
+) -> np.ndarray:
+    """Batched weighted polynomial fits, one per query point.
+
+    Solves, for every query q, the least-squares problem
+    ``min_beta || W_q (B_q beta - y) ||`` with ``W_q = diag(weights[q])`` and
+    B_q the degree-`degree` polynomial basis *centered at x_query[q]* (the
+    centering changes conditioning, not the fitted polynomial), then returns
+    the fit's value at the query point — the constant basis coefficient.
+    Singular neighbourhoods (fewer distinct samples than coefficients) fall
+    back to the minimum-norm solution via pseudo-inverse.
+    """
+    # (Q, N, degree+1) centered monomial basis
+    t = x[None, :] - x_query[:, None]
+    basis = t[:, :, None] ** np.arange(degree + 1)
+    w2 = weights**2  # diag(w) applied to both sides of the lstsq system
+    gram = np.einsum("qna,qn,qnb->qab", basis, w2, basis)
+    rhs = np.einsum("qna,qn,n->qa", basis, w2, y)
+    try:
+        coef = np.linalg.solve(gram, rhs[..., None])[..., 0]
+    except np.linalg.LinAlgError:
+        coef = np.stack(
+            [np.linalg.pinv(g) @ r for g, r in zip(gram, rhs)]
+        )
+    return coef[:, 0]
+
+
 class LOESS:
-    """Locally-weighted polynomial regression (`lrf/utils/misc.py:276`)."""
+    """Locally-weighted polynomial regression (behavioral spec:
+    `lrf/utils/misc.py:276-412`; independent vectorized implementation —
+    see module docstring)."""
 
     def __init__(self, frac=0.3, degree=1) -> None:
         self.frac = np.atleast_1d(frac)
@@ -40,10 +104,6 @@ class LOESS:
         self.y: Optional[np.ndarray] = None
         self.best_frac: Optional[float] = None
         self.best_degree: Optional[int] = None
-
-    @staticmethod
-    def _tricube(d: np.ndarray) -> np.ndarray:
-        return np.clip((1.0 - d**3) ** 3, 0.0, 1.0)
 
     def fit(self, x, y) -> "LOESS":
         self.x = np.asarray(x, dtype=float)
@@ -63,31 +123,29 @@ class LOESS:
         return best[1], best[2]
 
     def _loocv(self, frac: float, degree: int) -> float:
+        """Mean squared leave-one-out prediction error, in one pass.
+
+        Holding out sample i and predicting at x[i] is realized by masking
+        the i-th distance to infinity (weight zero) while sizing the
+        neighbourhood as k = ceil(frac * (n-1)) — identical to refitting on
+        the n-1 remaining samples, without n refits.
+        """
         n = len(self.x)
-        errors = np.empty(n)
-        for i in range(n):
-            model = LOESS(frac=frac, degree=degree)
-            model.fit(np.delete(self.x, i), np.delete(self.y, i))
-            errors[i] = (self.y[i] - model.predict([self.x[i]])[0]) ** 2
-        return float(np.mean(errors))
+        if n < 2:
+            return np.inf
+        dist = np.abs(self.x[:, None] - self.x[None, :])
+        np.fill_diagonal(dist, np.inf)
+        k = int(np.ceil(frac * (n - 1)))
+        w = _tricube_weights(dist, k)
+        pred = _fit_predict(self.x, self.y, w, self.x, int(degree))
+        return float(np.mean((self.y - pred) ** 2))
 
     def predict(self, x_new) -> np.ndarray:
-        from scipy.linalg import lstsq
-
         x_new = np.asarray(x_new, dtype=float)
-        n = len(self.x)
-        k = int(np.ceil(self.best_frac * n))
-        out = np.empty_like(x_new)
-        for i, xq in enumerate(x_new):
-            distances = np.abs(self.x - xq)
-            idx = np.argsort(distances)[:k]
-            span = distances[idx][-1]
-            weights = self._tricube(distances[idx] / span) if span > 0 else np.ones(k)
-            w = np.diag(weights)
-            design = np.vander(self.x[idx], int(self.best_degree) + 1)
-            beta = lstsq(w @ design, w @ self.y[idx], cond=None)[0]
-            out[i] = np.polyval(beta, xq)
-        return out
+        k = int(np.ceil(self.best_frac * len(self.x)))
+        dist = np.abs(x_new[:, None] - self.x[None, :])
+        w = _tricube_weights(dist, k)
+        return _fit_predict(self.x, self.y, w, x_new, int(self.best_degree))
 
 
 class Plot:

@@ -103,6 +103,29 @@ class TestLOESS:
         assert model.best_frac in (0.3, 0.6)
         assert model.best_degree in (1, 2)
 
+    def test_matches_reference_loess(self, ref_lrf):
+        """Our vectorized LOESS reproduces the reference's per-point-loop
+        LOESS (`lrf/utils/misc.py:276-412`): same predictions (incl.
+        extrapolation), same LOOCV grid-search selections."""
+        RefLOESS = ref_lrf.LOESS
+        rng = np.random.default_rng(7)
+        grid_frac = np.arange(0.15, 0.75, 0.1)
+        for _ in range(3):
+            n = int(rng.integers(12, 45))
+            x = np.sort(rng.uniform(0, 1, n))
+            y = np.sin(3 * x) + rng.normal(0, 0.05, n)
+            xq = np.linspace(-0.05, 1.05, 13)
+            for frac, degree in [(0.2, 1), (0.4, 2), (0.7, 1)]:
+                ref = RefLOESS(frac=frac, degree=degree).fit(x, y).predict(xq)
+                ours = LOESS(frac=frac, degree=degree).fit(x, y).predict(xq)
+                np.testing.assert_allclose(ours, np.asarray(ref), atol=1e-7)
+            ref = RefLOESS(frac=grid_frac, degree=[1, 2]).fit(x, y)
+            ours = LOESS(frac=grid_frac, degree=[1, 2]).fit(x, y)
+            assert (ours.best_frac, ours.best_degree) == (
+                ref.best_frac,
+                ref.best_degree,
+            )
+
 
 class TestPlot:
     def test_interpolate_and_render(self, tmp_path):
