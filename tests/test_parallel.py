@@ -78,6 +78,35 @@ class TestShardedEncode:
         p_shard = float(psnr(batch[0], shard_dec))
         assert abs(p_single - p_shard) < 0.2, (p_single, p_shard)
 
+    def test_pallas_backend_on_data_mesh(self, batch):
+        # The fused Pallas BCD kernel runs per-shard under shard_map on a
+        # multi-device data-parallel mesh (interpret mode on CPU). Streams
+        # must match the XLA backend's decode-level quality; factor bytes
+        # usually match exactly (same math, different accumulation order).
+        from lrf_tpu.utils.metrics import psnr
+
+        mesh = make_mesh(data=8, patch=1)
+        xla = sharded_qmf_encode_batch(
+            batch, mesh, quality=20, num_iters=3, backend="xla"
+        )
+        pallas = sharded_qmf_encode_batch(
+            batch, mesh, quality=20, num_iters=3, backend="pallas"
+        )
+        assert len(pallas) == len(batch)
+        for i in range(len(batch)):
+            if pallas[i] == xla[i]:
+                continue
+            p_x = float(psnr(batch[i], qmf_decode(xla[i])))
+            p_p = float(psnr(batch[i], qmf_decode(pallas[i])))
+            assert abs(p_x - p_p) < 0.2, (i, p_x, p_p)
+
+    def test_pallas_backend_rejects_patch_sharding(self, batch):
+        mesh = make_mesh(data=4, patch=2)
+        with pytest.raises(NotImplementedError):
+            sharded_qmf_encode_batch(
+                batch, mesh, quality=20, num_iters=1, backend="pallas"
+            )
+
     def test_packed_fetch_identical_streams(self, batch):
         # Bit-packed single-buffer fetch must give byte-identical streams.
         mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
