@@ -22,6 +22,7 @@ import time
 import numpy as np
 
 BASELINE_MPIX_S = 4.76  # reference CPU encode throughput, Kodak @0.25bpp
+BASELINE_DECODE_MPIX_S = 148.0  # reference CPU decode (2.66 ms/image Kodak)
 H, W, BATCH = 512, 768, 24
 QUALITY = 10
 
@@ -185,6 +186,12 @@ def main():
                 "value": round(mpix_s, 2),
                 "unit": "Mpixel/s",
                 "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+                # decode is regression-tracked here too: streams -> device-
+                # resident images, batched (reference CPU node: ~148 Mpix/s)
+                "decode_mpix_s": round(mpix / dec_ms * 1000, 2),
+                "decode_vs_baseline": round(
+                    mpix / dec_ms * 1000 / BASELINE_DECODE_MPIX_S, 2
+                ),
             }
         )
     )

@@ -100,11 +100,18 @@ def make_eval_image(lrf):
                 "patch": True,
                 "patch_size": (8, 8),
                 "bounds": (-16, 15),
-                "dtype": _torch.int8,
                 "num_iters": 10,
             }
-            log = _eval(image, timage, lrf.qmf_encode, lrf.qmf_decode, **params)
-            rows.append({"data": image_id, "method": "QMF", **params, **log})
+            log = _eval(
+                image, timage, lrf.qmf_encode, lrf.qmf_decode,
+                dtype=_torch.int8, **params,
+            )
+            # row records the numpy dtype name (JSON-serializable via our
+            # config hooks); the codec call above received torch.int8
+            rows.append(
+                {"data": image_id, "method": "QMF", **params,
+                 "dtype": np.dtype(np.int8), **log}
+            )
         return rows
 
     return eval_image

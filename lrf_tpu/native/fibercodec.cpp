@@ -220,6 +220,93 @@ int lrf_compress_fibers(const uint8_t* data, int64_t num_fibers,
                               /*backend=*/0, out, out_cap, out_lens);
 }
 
+// Decode the device-side entropy coder's fixed-slot + exception-tail
+// format (lrf_tpu/ops/entropy.py): canonical LSB-first Huffman codes
+// (lengths `lens[alphabet]` / codes `codes[alphabet]`, max length 12);
+// `chunk` values per chunk; every chunk owns `main_words` uint32 in `main`
+// at a fixed stride, and chunks whose codes exceed main_words*32 bits
+// continue in a `tail_words`-word row of `exc`, rows assigned in chunk
+// order (chunks are self-delimiting — the decoder discovers overflow from
+// its own bit count). Segment s (one per factor x image) holds
+// `seg_values[s]` values (chunk padding decoded and dropped) and its first
+// exception row is `seg_ovf_base[s]`. Output: int8 values (symbol + lo),
+// segments concatenated.
+int lrf_huffman_decode_segments(const uint8_t* main, const uint8_t* exc,
+                                int64_t n_exc_rows, const int64_t* seg_ovf_base,
+                                const int64_t* seg_values, int64_t num_segments,
+                                const int32_t* lens, const uint32_t* codes,
+                                int64_t alphabet, int64_t chunk,
+                                int64_t main_words, int64_t tail_words,
+                                int32_t lo, int8_t* out) {
+  constexpr int kMaxLen = 12;
+  // 4096-entry LUT: index = next 12 bits (LSB-first) -> (symbol, length)
+  struct Entry {
+    int8_t sym;
+    int8_t len;
+  };
+  std::vector<Entry> lut(1 << kMaxLen);
+  for (int64_t s = 0; s < alphabet; ++s) {
+    int L = lens[s];
+    if (L <= 0 || L > kMaxLen) return 1;
+    uint32_t c = codes[s];
+    for (uint32_t fill = 0; fill < (1u << (kMaxLen - L)); ++fill) {
+      uint32_t idx = c | (fill << L);
+      lut[idx] = {static_cast<int8_t>(s), static_cast<int8_t>(L)};
+    }
+  }
+  const int64_t main_bytes = main_words * 4;
+  const int64_t tail_bytes = tail_words * 4;
+  const int64_t main_bits = main_words * 32;
+  // per-segment output offsets and first-chunk ids
+  std::vector<int64_t> out_off(static_cast<size_t>(num_segments));
+  std::vector<int64_t> chunk0(static_cast<size_t>(num_segments));
+  int64_t acc = 0, chk = 0;
+  for (int64_t s = 0; s < num_segments; ++s) {
+    out_off[static_cast<size_t>(s)] = acc;
+    chunk0[static_cast<size_t>(s)] = chk;
+    acc += seg_values[s];
+    chk += (seg_values[s] + chunk - 1) / chunk;
+  }
+  std::vector<int> rcs(static_cast<size_t>(num_segments), 0);
+  parallel_for(num_segments, [&](int64_t s) {
+    int8_t* dst = out + out_off[static_cast<size_t>(s)];
+    int64_t remaining = seg_values[s];
+    int64_t cid = chunk0[static_cast<size_t>(s)];
+    int64_t exc_cursor = seg_ovf_base[s];
+    // contiguous scratch: main slot + exception tail + lookahead headroom
+    std::vector<uint8_t> buf(static_cast<size_t>(main_bytes + tail_bytes + 4), 0);
+    while (remaining > 0) {
+      std::memcpy(buf.data(), main + cid * main_bytes,
+                  static_cast<size_t>(main_bytes));
+      if (exc_cursor < n_exc_rows) {
+        std::memcpy(buf.data() + main_bytes, exc + exc_cursor * tail_bytes,
+                    static_cast<size_t>(tail_bytes));
+      } else {
+        std::memset(buf.data() + main_bytes, 0,
+                    static_cast<size_t>(tail_bytes));
+      }
+      int64_t take = remaining < chunk ? remaining : chunk;
+      int64_t bitpos = 0;
+      for (int64_t i = 0; i < chunk; ++i) {
+        int64_t byte0 = bitpos >> 3;
+        uint32_t window = static_cast<uint32_t>(buf[byte0]) |
+                          (static_cast<uint32_t>(buf[byte0 + 1]) << 8) |
+                          (static_cast<uint32_t>(buf[byte0 + 2]) << 16);
+        Entry e = lut[(window >> (bitpos & 7)) & 0xFFF];
+        if (i < take) dst[i] = static_cast<int8_t>(e.sym + lo);
+        bitpos += e.len;
+      }
+      if (bitpos > main_bits) ++exc_cursor;
+      dst += take;
+      remaining -= take;
+      ++cid;
+    }
+  });
+  for (int rc : rcs)
+    if (rc != 0) return rc;
+  return 0;
+}
+
 // Decompress `num_fibers` concatenated deflate blobs (lengths in
 // `blob_lens`) into `out`, each fiber occupying `fiber_bytes` bytes.
 int lrf_decompress_fibers(const uint8_t* blobs, const int64_t* blob_lens,

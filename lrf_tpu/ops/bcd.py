@@ -57,14 +57,40 @@ def svd_init(
     rank: int,
     num_levels: Optional[float] = None,
     method: str = "gram",
+    bounds: tuple[Optional[float], Optional[float]] = (None, None),
 ):
     """QMF initializer (`lrf/factorization/qmf.py:32-71`).
 
     Returns `(u, v, w)` with `w = [w0; w1]` stacked on dim -2; with
     `num_levels` set, factors are range-rescaled and the compensating scale is
     folded into `w1`.
+
+    With `bounds` given, each rank component's `(u_r, v_r)` pair is sign-
+    flipped (product-invariant) to whichever orientation clips less under
+    the integer projection. SVD sign conventions are arbitrary, but the
+    canonical bounds (-16, 15) are NOT symmetric: for the all-positive
+    leading component of an image channel, the negative orientation reaches
+    |(-16)*(-16)| = 256 (covering uint8 peaks) while the positive one caps
+    at 15*15 = 225 and clips every bright region — measured ~3 dB PSNR at
+    rank 1 on 768x512 photographs. The reference inherits whatever sign
+    LAPACK's gesdd emits (lucky on its published sweeps); selecting the
+    orientation deterministically matches-or-beats it on every component.
     """
     u, v = svd_balanced_factors(x, rank, method=method)
+    lo, hi = bounds
+    if lo is not None and hi is not None:
+        lo_i, hi_i = math.ceil(lo), math.floor(hi)
+
+        def clip_penalty(z):
+            over = jnp.maximum(z - hi_i, 0.0)
+            under = jnp.maximum(lo_i - z, 0.0)
+            return jnp.sum(over * over + under * under, axis=-2, keepdims=True)
+
+        pen_pos = clip_penalty(u) + clip_penalty(v)  # (..., 1, R)
+        pen_neg = clip_penalty(-u) + clip_penalty(-v)
+        sign = jnp.where(pen_neg < pen_pos, -1.0, 1.0)
+        u = u * sign
+        v = v * sign
     w0 = jnp.zeros_like(x[..., 0:1, 0:1])
     w1 = jnp.ones_like(w0)
     if num_levels:
@@ -208,7 +234,9 @@ def qmf_decompose(
     `v (..., N, R)`, and affine `w (..., 2, 1)`.
     """
     x = x.astype(jnp.float32)
-    u, v, w = svd_init(x, rank, num_levels=num_levels, method=init_method)
+    u, v, w = svd_init(
+        x, rank, num_levels=num_levels, method=init_method, bounds=bounds
+    )
     project = make_project(bounds)
 
     def body(_, carry):

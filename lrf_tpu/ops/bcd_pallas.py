@@ -231,7 +231,7 @@ def qmf_decompose_pallas(
     from lrf_tpu.ops.bcd import svd_init
 
     x = x.astype(jnp.float32)
-    u0, v0, w = svd_init(x, rank, method=init_method)
+    u0, v0, w = svd_init(x, rank, method=init_method, bounds=bounds)
     u, v = bcd_pallas(
         x, u0, v0, num_iters=num_iters, bounds=bounds, tile_m=tile_m, interpret=interpret
     )

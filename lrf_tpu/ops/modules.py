@@ -58,15 +58,28 @@ class RandInit:
 
 
 class SVDInit:
-    """sqrt(s)-balanced truncated-SVD initializer (`lrf/factorization/qmf.py:32`)."""
+    """sqrt(s)-balanced truncated-SVD initializer (`lrf/factorization/qmf.py:32`).
 
-    def __init__(self, rank: int, num_levels: Optional[float] = None, method: str = "gram") -> None:
+    `bounds` enables the clip-minimizing per-component sign selection (see
+    `lrf_tpu.ops.bcd.svd_init`)."""
+
+    def __init__(
+        self,
+        rank: int,
+        num_levels: Optional[float] = None,
+        method: str = "gram",
+        bounds: tuple = (None, None),
+    ) -> None:
         self.rank = rank
         self.num_levels = num_levels
         self.method = method
+        self.bounds = bounds
 
     def __call__(self, x: jnp.ndarray):
-        return svd_init(x, self.rank, num_levels=self.num_levels, method=self.method)
+        return svd_init(
+            x, self.rank, num_levels=self.num_levels, method=self.method,
+            bounds=self.bounds,
+        )
 
 
 class CoordinateDescent:

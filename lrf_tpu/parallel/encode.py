@@ -54,6 +54,36 @@ __all__ = [
 
 
 _FETCH_CHUNK_WORDS = 64 * 1024  # 256 KiB of uint32 per output piece
+_EXC_PIECE_WORDS = 16 * 1024  # 64 KiB pieces for the (mostly unused) tails
+
+
+class EntropyOverflowError(Exception):
+    """The entropy pack's device-side exception budget was exceeded for a
+    batch (data far from the static Huffman table's distribution); callers
+    re-encode that batch with the flat pack."""
+
+    def __init__(self, n_ovf: int, budget: int):
+        super().__init__(
+            f"{n_ovf} overflowing chunks exceed the {budget}-row exception "
+            "budget; falling back to flat packing for this batch"
+        )
+
+
+def _split_pieces(flat, piece_words: int):
+    """Split a 1-D device array into fixed-size program outputs.
+
+    Each piece can start its own `copy_to_host_async` at dispatch (see
+    `_pack_factors`), and callers may skip fetching pieces they can prove
+    unused (the entropy coder's exception buffer). Zero-pads the tail piece.
+    """
+    import jax.numpy as jnp
+
+    n = flat.shape[0]
+    n_pieces = max(1, -(-n // piece_words))
+    flat = jnp.pad(flat, (0, n_pieces * piece_words - n))
+    return tuple(
+        flat[i * piece_words : (i + 1) * piece_words] for i in range(n_pieces)
+    )
 
 
 def _pack_factors(factors, lo: int, bits: int):
@@ -152,7 +182,7 @@ def _cached_sharded_encoder(
             from lrf_tpu.ops.bcd_pallas import bcd_pallas
 
             interpret = jax.default_backend() != "tpu"
-            u0, v0, _ = svd_init(xm, rank)
+            u0, v0, _ = svd_init(xm, rank, bounds=bounds)
             run = functools.partial(
                 bcd_pallas, num_iters=num_iters, bounds=bounds, interpret=interpret
             )
@@ -188,7 +218,17 @@ def _cached_sharded_encoder(
             u, v = factorize(xm, rank)
             factors.append(u.astype(dtype))
             factors.append(v.astype(dtype))
-        if pack:
+        if pack == "entropy":
+            from lrf_tpu.ops.entropy import pack_segments
+
+            lo, _ = _pack_params(bounds)
+            seg_base, main, exc = pack_segments(list(factors), lo)
+            return (
+                (seg_base,)
+                + _split_pieces(main, _FETCH_CHUNK_WORDS)
+                + _split_pieces(exc, _EXC_PIECE_WORDS)
+            )
+        if pack == "flat":
             lo, bits = _pack_params(bounds)
             return _pack_factors(factors, lo, bits)
         return tuple(factors)
@@ -217,15 +257,19 @@ def build_sharded_encoder(
     """Compile (cached) a sharded YCbCr-patch batch encoder for one config.
 
     Returns `(encode_fn, metadata, pack_spec)`: `encode_fn(images)` maps a
-    sharded `(B, 3, H, W)` batch to 6 per-channel factor arrays — or, when
-    packing is active, to one bit-packed uint32 buffer (see `_pack_factors`);
-    `metadata` is the (shared) stream metadata dict; `pack_spec` is None or
-    `{"shapes", "lo", "bits", "dtype"}` for host-side unpacking (`batch` must
-    be given to enable packing, since factor shapes include the batch dim).
+    sharded `(B, 3, H, W)` batch to 6 per-channel factor arrays — or, when a
+    pack mode is active, to transport-packed uint32 piece buffers; `metadata`
+    is the (shared) stream metadata dict; `pack_spec` carries what the host
+    needs to reverse the packing (`batch` must be given to enable packing,
+    since factor shapes include the batch dim).
 
-    pack=None auto-enables on single-device TPU meshes (where the D2H fetch
-    over the tunnel dominates), for >=1 BCD sweep (iters=0 factors are
-    unprojected and may exceed the bounds' bit budget).
+    `pack` modes: "entropy" — device-side static-Huffman bit-pack
+    (~3.6 bits/value transport; `lrf_tpu.ops.entropy`), "flat" (or True) —
+    5-bit flat pack, False/"" — raw factor arrays. None auto-selects on
+    single-device TPU meshes (where the D2H fetch over the tunnel
+    dominates): "entropy" for the canonical int8/(-16, 15) config with
+    >=1 BCD sweep (iters=0 factors are unprojected and may exceed the
+    alphabet), else "flat". All modes produce byte-identical streams.
     """
     size = tuple(image_size)
     if not isinstance(rank, Iterable):
@@ -257,14 +301,38 @@ def build_sharded_encoder(
         "padded size": padded_sizes,
         "rank": list(ranks),
     }
+    # Resolve the pack mode: "entropy" (device Huffman, see
+    # lrf_tpu.ops.entropy), "flat" (5-bit pack), or "" (raw factor arrays).
+    # Entropy packing requires the canonical (-16, 15)/int8 alphabet and
+    # projected factors (num_iters >= 1); `pack=True` means flat
+    # (back-compat), `pack=None` auto-selects on single-device TPU meshes
+    # where the D2H fetch over the tunnel dominates.
+    lo, bits = _pack_params(bounds)
+    entropy_ok = (
+        batch is not None
+        and num_iters >= 1
+        and (lo, bits) == (-16, 5)
+        and np.dtype(dtype) == np.int8
+    )
     if pack is None:
-        pack = (
-            batch is not None
-            and num_iters >= 1
-            and jax.default_backend() == "tpu"
-            and mesh.devices.size == 1
+        # auto = "flat": the device-side Huffman pack ("entropy") currently
+        # costs more device time than its transfer saving on the bench
+        # config (see experiments/pallas_evidence.json notes); it remains
+        # opt-in until its device cost is tuned below the fetch saving.
+        if jax.default_backend() == "tpu" and mesh.devices.size == 1 and batch:
+            pack = "flat" if num_iters >= 1 else False
+        else:
+            pack = False
+    elif pack is True:
+        pack = "flat"
+    if pack == "entropy" and not entropy_ok:
+        raise ValueError(
+            "pack='entropy' needs batch, num_iters >= 1, int8 and the "
+            "canonical (-16, 15) bounds"
         )
-    pack = bool(pack) and batch is not None
+    pack = pack if pack in ("flat", "entropy") else ""
+    if batch is None:
+        pack = ""
 
     fn = _cached_sharded_encoder(
         mesh,
@@ -286,13 +354,28 @@ def build_sharded_encoder(
             m = (padded[0] // p) * (padded[1] // q)
             shapes.append((batch, m, r))  # u
             shapes.append((batch, p * q, r))  # v
-        lo, bits = _pack_params(bounds)
         pack_spec = {
+            "mode": pack,
             "shapes": tuple(shapes),
             "lo": lo,
             "bits": bits,
             "dtype": np.dtype(dtype),
         }
+        if pack == "entropy":
+            from lrf_tpu.ops import entropy as _entropy
+
+            values, _, bounds_idx = _entropy.segment_layout(shapes)
+            c_total = bounds_idx[-1]
+            main_words = c_total * _entropy.MAIN_WORDS
+            exc_budget = _entropy.default_exc_rows(c_total)
+            exc_words = exc_budget * _entropy.TAIL_WORDS
+            pack_spec.update(
+                values_per_segment=tuple(values),
+                main_words=main_words,
+                exc_budget=exc_budget,
+                n_main_pieces=max(1, -(-main_words // _FETCH_CHUNK_WORDS)),
+                n_exc_pieces=max(1, -(-exc_words // _EXC_PIECE_WORDS)),
+            )
     return fn, metadata, pack_spec
 
 
@@ -322,7 +405,13 @@ def sharded_qmf_encode_batch(
     # concurrent host threads touching jax arrays while fetches are in flight
     # wedge the single-client transport. For overlap that keeps all jax work
     # on the calling thread see `sharded_qmf_encode_batches`.)
-    host_out = _fetch_encoded(out, pack_spec)
+    try:
+        host_out = _fetch_encoded(out, pack_spec)
+    except EntropyOverflowError:
+        return sharded_qmf_encode_batch(
+            images, mesh, quality=quality, rank=rank,
+            **{**config, "pack": "flat"},
+        )
     return _serialize_batch(host_out, pack_spec, metadata, b)
 
 
@@ -332,19 +421,87 @@ def _start_fetch(out, pack_spec):
     The packed chunk outputs transfer as soon as the program produces them,
     pipelined by the transport, overlapping both this batch's compute and
     subsequent device work (measured ~3x the throughput of one synchronous
-    750 KB fetch on the tunnel).
+    750 KB fetch on the tunnel). For entropy mode only the segment bases,
+    the main stream pieces, and the first exception piece start eagerly —
+    how many exception pieces exist is data the bases will tell us.
     """
-    if pack_spec is not None:
+    if pack_spec is None:
+        return
+    if pack_spec["mode"] == "entropy":
+        n_main = pack_spec["n_main_pieces"]
+        for c in out[: 1 + n_main + 1]:
+            c.copy_to_host_async()
+    else:
         for c in out:
             c.copy_to_host_async()
 
 
 def _fetch_encoded(out, pack_spec):
     """Materialize the encode outputs on host (numpy)."""
-    if pack_spec is not None:
-        _start_fetch(out, pack_spec)
+    if pack_spec is None:
+        return [to_host(f) for f in out]  # (B, ., R) each
+    _start_fetch(out, pack_spec)
+    if pack_spec["mode"] != "entropy":
         return np.concatenate([np.asarray(c) for c in out])
-    return [to_host(f) for f in out]  # (B, ., R) each
+    from lrf_tpu.ops import entropy as _entropy
+
+    n_main = pack_spec["n_main_pieces"]
+    seg_base = np.asarray(out[0])
+    n_ovf = int(seg_base[-1])
+    if n_ovf > pack_spec["exc_budget"]:
+        # data far outside the static table's distribution (e.g. noise at
+        # extreme symbols): the exception buffer was truncated on device
+        raise EntropyOverflowError(n_ovf, pack_spec["exc_budget"])
+    exc_words_used = n_ovf * _entropy.TAIL_WORDS
+    n_exc = min(
+        pack_spec["n_exc_pieces"], max(1, -(-exc_words_used // _EXC_PIECE_WORDS))
+    )
+    exc_pieces = out[1 + n_main : 1 + n_main + n_exc]
+    for c in exc_pieces[1:]:  # piece 0 already started eagerly
+        c.copy_to_host_async()
+    main = np.concatenate([np.asarray(c) for c in out[1 : 1 + n_main]])
+    exc = np.concatenate([np.asarray(c) for c in exc_pieces])
+    return (
+        seg_base,
+        main[: pack_spec["main_words"]],
+        exc[:exc_words_used],
+    )
+
+
+def _decode_entropy(host_out, pack_spec):
+    """Huffman-decode the fetched (seg_base, main, exc) buffers to the int8
+    factor arrays (native decoder; pure-python fallback)."""
+    from lrf_tpu.native import fibercodec as _native
+    from lrf_tpu.ops import entropy as _entropy
+
+    seg_base, main, exc = host_out
+    values_per_segment = pack_spec["values_per_segment"]
+    lo = pack_spec["lo"]
+    flat = _native.huffman_decode_segments(
+        main,
+        exc,
+        seg_base,
+        values_per_segment,
+        _entropy.LENS,
+        _entropy.CODES,
+        _entropy.CHUNK,
+        _entropy.MAIN_WORDS,
+        _entropy.TAIL_WORDS,
+        lo,
+    )
+    if flat is None:
+        flat = _entropy.decode_segments_py(
+            main, exc, seg_base, values_per_segment, lo
+        ).astype(pack_spec["dtype"])
+    factors = []
+    offset = 0
+    for shape in pack_spec["shapes"]:
+        n = int(np.prod(shape))
+        factors.append(
+            flat[offset : offset + n].reshape(shape).astype(pack_spec["dtype"])
+        )
+        offset += n
+    return factors
 
 
 def _serialize_batch(host_out, pack_spec, metadata, b: int) -> list[bytes]:
@@ -354,7 +511,9 @@ def _serialize_batch(host_out, pack_spec, metadata, b: int) -> list[bytes]:
     worker thread concurrently with device dispatch/fetch on the main thread.
     """
     encoded_metadata = dict_to_bytes(metadata)
-    if pack_spec is not None:
+    if pack_spec is not None and pack_spec["mode"] == "entropy":
+        host_factors = _decode_entropy(host_out, pack_spec)
+    elif pack_spec is not None:
         host_factors = _unpack_factors(
             host_out,
             pack_spec["shapes"],
@@ -398,8 +557,22 @@ def sharded_qmf_encode_batches(
     target = NamedSharding(mesh, P("data"))
 
     with ThreadPoolExecutor(max_workers=1) as pool:
-        in_flight = None  # (device out, pack_spec, metadata, b) — dispatched
+        in_flight = None  # (out, pack_spec, metadata, b, images) — dispatched
         pending = None  # future of list[bytes] — serializing
+
+        def drain(flight):
+            """Fetch + hand to the serializer; on entropy-budget overflow
+            (rare: data far from the static Huffman table), re-encode that
+            batch with the flat pack."""
+            try:
+                host_out = _fetch_encoded(flight[0], flight[1])
+            except EntropyOverflowError:
+                redo = sharded_qmf_encode_batch(
+                    flight[4], mesh, quality=quality, rank=rank,
+                    **{**config, "pack": "flat"},
+                )
+                return pool.submit(lambda r=redo: r)
+            return pool.submit(_serialize_batch, host_out, *flight[1:4])
 
         for images in batches:
             b = int(images.shape[0])
@@ -412,15 +585,15 @@ def sharded_qmf_encode_batches(
             out = fn(images)  # async dispatch: device starts now
             _start_fetch(out, pack_spec)  # D2H copies begin as data lands
             if in_flight is not None:
-                host_out = _fetch_encoded(in_flight[0], in_flight[1])
+                fut = drain(in_flight)
                 if pending is not None:
                     yield pending.result()
-                pending = pool.submit(_serialize_batch, host_out, *in_flight[1:])
-            in_flight = (out, pack_spec, metadata, b)
+                pending = fut
+            in_flight = (out, pack_spec, metadata, b, images)
         if in_flight is not None:
-            host_out = _fetch_encoded(in_flight[0], in_flight[1])
+            fut = drain(in_flight)
             if pending is not None:
                 yield pending.result()
-            pending = pool.submit(_serialize_batch, host_out, *in_flight[1:])
+            pending = fut
         if pending is not None:
             yield pending.result()

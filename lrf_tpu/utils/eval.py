@@ -64,6 +64,12 @@ def eval_compression(
     reconstructed = _block(decoder(encoded))
     decoding_time = 1000 * (time.perf_counter() - t0)
 
+    try:
+        import jax
+
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        platform = "unknown"
     output = {
         "compression ratio": float(compression_ratio(image, encoded)),
         "bit rate (bpp)": float(bits_per_pixel(image.shape[-2:], encoded)),
@@ -71,6 +77,9 @@ def eval_compression(
         "SSIM": float(ssim(image, reconstructed)),
         "encoding time (ms)": encoding_time,
         "decoding time (ms)": decoding_time,
+        # which backend produced the timing columns (the RD columns are
+        # platform-independent); the reference measured CPU only
+        "platform": platform,
     }
     if reconstruct:
         output["reconstructed"] = reconstructed

@@ -147,6 +147,26 @@ class TestQMF:
             assert np.all(arr == np.round(arr))
             assert arr.min() >= -16 and arr.max() <= 15
 
+    def test_init_sign_uses_asymmetric_bound_range(self):
+        # The bounds (-16, 15) are asymmetric: for a bright all-positive
+        # matrix, the negative orientation of a rank-1 component reaches
+        # (-16)*(-16) = 256 while the positive caps at 15*15 = 225 and
+        # clips every value above it (~3 dB on real photographs). svd_init
+        # must pick the orientation that clips less, regardless of the
+        # arbitrary SVD sign convention.
+        from lrf_tpu.ops.bcd import svd_init
+
+        x = jnp.asarray(
+            np.full((256, 64), 240.0, np.float32)
+            + RNG.normal(0, 4, (256, 64)).astype(np.float32)
+        )
+        u0, v0, _ = svd_init(x, 1, bounds=(-16, 15))
+        assert float(u0.mean()) < 0 and float(v0.mean()) < 0
+        u, v, _ = qmf_decompose(x, rank=1, num_iters=5, bounds=(-16, 15))
+        rec = np.asarray(u) @ np.asarray(v).T
+        # 240 is representable only via the negative orientation
+        assert abs(rec.mean() - 240) < 8, rec.mean()
+
     def test_batched_matches_single(self):
         xs = RNG.integers(0, 256, (3, 100, 64)).astype(np.float32)
         ub, vb, _ = qmf_decompose(jnp.asarray(xs), rank=4, num_iters=3, bounds=(-16, 15))

@@ -114,6 +114,30 @@ class TestShardedEncode:
         packed = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=3, pack=True)
         assert plain == packed
 
+    def test_entropy_packed_fetch_identical_streams(self, batch):
+        # Device-side Huffman pack (lrf_tpu.ops.entropy) must be a pure
+        # transport optimization: byte-identical streams.
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        plain = sharded_qmf_encode_batch(
+            batch, mesh, quality=20, num_iters=3, pack=False
+        )
+        entropy = sharded_qmf_encode_batch(
+            batch, mesh, quality=20, num_iters=3, pack="entropy"
+        )
+        assert plain == entropy
+
+    def test_entropy_pack_rejects_non_canonical(self, batch):
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        with pytest.raises(ValueError):
+            sharded_qmf_encode_batch(
+                batch, mesh, quality=20, num_iters=1, bounds=(-8, 7),
+                pack="entropy",
+            )
+        with pytest.raises(ValueError):
+            sharded_qmf_encode_batch(
+                batch, mesh, quality=20, num_iters=0, pack="entropy"
+            )
+
     def test_packed_fetch_wide_bounds(self, batch):
         mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
         plain = sharded_qmf_encode_batch(
