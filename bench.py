@@ -197,7 +197,7 @@ def main():
     )
 
 
-def supervise(retries: int = 3, timeout_s: int = 450) -> int:
+def supervise(retries: int = 3, timeout_s: int = 900) -> int:
     """Run the measurement in a killable child, retrying on tunnel hangs.
 
     The tunnel-attached TPU in this environment occasionally deadlocks a

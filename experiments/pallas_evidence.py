@@ -101,8 +101,7 @@ def main() -> None:
 
     project = make_project(bounds)
     w_id = jnp.concatenate(
-        [jnp.zeros((B, 1, xm.shape[-1])), jnp.ones((B, 1, xm.shape[-1]))],
-        axis=-2,
+        [jnp.zeros((B, 1, 1)), jnp.ones((B, 1, 1))], axis=-2
     )  # identity affine: w0 = 0, w1 = 1 (the factor=(0,1) codec path)
 
     @jax.jit

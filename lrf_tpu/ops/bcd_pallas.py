@@ -132,7 +132,8 @@ def _bcd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_iters", "bounds", "tile_m", "interpret")
+    jax.jit,
+    static_argnames=("num_iters", "bounds", "tile_m", "interpret", "batch_chunk"),
 )
 def bcd_pallas(
     x: jnp.ndarray,
@@ -142,18 +143,54 @@ def bcd_pallas(
     bounds: tuple[float, float] = (-16, 15),
     tile_m: int = 8192,
     interpret: bool = False,
+    batch_chunk: int = 8,
 ):
     """Run `num_iters` BCD sweeps on `(B, M, N)` with factors `(B, M, R)`,
     `(B, N, R)`. Returns the updated `(u, v)` (integer-valued float32).
 
     Equivalent to `num_iters` iterations of
     `lrf_tpu.ops.bcd.bcd_sweep(..., factor=(0, 1))` with integer projection.
+
+    Batches larger than `batch_chunk` run as sequential `pallas_call`s over
+    batch chunks via `lax.map`: XLA's scoped-VMEM stack for the custom
+    call's aliased operand copies grows linearly with B (~0.77 MiB/image at
+    Kodak shapes against a 16 MiB limit), so an unchunked call stops
+    compiling around B~20; chunking bounds it for any B at no measurable
+    cost (the grid is sequential per core anyway).
     """
     assert x.ndim == 3 and u0.ndim == 3 and v0.ndim == 3
     if num_iters == 0:
         # zero-size grid never runs the kernel; outputs would be undefined
         return u0.astype(jnp.float32), v0.astype(jnp.float32)
     b, m, n = x.shape
+    if b > batch_chunk:
+        pad = (-b) % batch_chunk
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+            u0 = jnp.pad(u0, ((0, pad), (0, 0), (0, 0)))
+            v0 = jnp.pad(v0, ((0, pad), (0, 0), (0, 0)))
+        nb = (b + pad) // batch_chunk
+
+        def run_chunk(args):
+            xc, uc, vc = args
+            return bcd_pallas(
+                xc, uc, vc, num_iters=num_iters, bounds=bounds,
+                tile_m=tile_m, interpret=interpret, batch_chunk=batch_chunk,
+            )
+
+        r = u0.shape[-1]
+        u, v = jax.lax.map(
+            run_chunk,
+            (
+                x.reshape(nb, batch_chunk, m, n),
+                u0.reshape(nb, batch_chunk, m, r),
+                v0.reshape(nb, batch_chunk, n, r),
+            ),
+        )
+        return (
+            u.reshape(nb * batch_chunk, m, r)[:b],
+            v.reshape(nb * batch_chunk, n, r)[:b],
+        )
     r = u0.shape[-1]
     lo, hi = float(math.ceil(bounds[0])), float(math.floor(bounds[1]))
 

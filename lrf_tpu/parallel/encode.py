@@ -556,14 +556,24 @@ def sharded_qmf_encode_batches(
 
     target = NamedSharding(mesh, P("data"))
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        in_flight = None  # (out, pack_spec, metadata, b, images) — dispatched
-        pending = None  # future of list[bytes] — serializing
+    from collections import deque
 
-        def drain(flight):
-            """Fetch + hand to the serializer; on entropy-budget overflow
-            (rare: data far from the static Huffman table), re-encode that
-            batch with the flat pack."""
+    # Two batches stay in flight on the device: with dispatch (and its
+    # copy_to_host_async) issued two batches ahead of the blocking fetch,
+    # the device queue never drains while the main thread waits on the
+    # transport, so the steady-state period approaches the pure D2H bound
+    # rather than fetch + exposed compute.
+    depth = 2
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        in_flight = deque()  # (out, pack_spec, metadata, b, images)
+        pending = deque()  # futures of list[bytes] — serializing
+
+        def drain_one():
+            """Fetch the oldest in-flight batch + hand to the serializer;
+            on entropy-budget overflow (rare: data far from the static
+            Huffman table), re-encode that batch with the flat pack."""
+            flight = in_flight.popleft()
             try:
                 host_out = _fetch_encoded(flight[0], flight[1])
             except EntropyOverflowError:
@@ -571,8 +581,11 @@ def sharded_qmf_encode_batches(
                     flight[4], mesh, quality=quality, rank=rank,
                     **{**config, "pack": "flat"},
                 )
-                return pool.submit(lambda r=redo: r)
-            return pool.submit(_serialize_batch, host_out, *flight[1:4])
+                pending.append(pool.submit(lambda r=redo: r))
+                return
+            pending.append(
+                pool.submit(_serialize_batch, host_out, *flight[1:4])
+            )
 
         for images in batches:
             b = int(images.shape[0])
@@ -584,16 +597,12 @@ def sharded_qmf_encode_batches(
                 images = jax.device_put(jnp.asarray(images), target)
             out = fn(images)  # async dispatch: device starts now
             _start_fetch(out, pack_spec)  # D2H copies begin as data lands
-            if in_flight is not None:
-                fut = drain(in_flight)
-                if pending is not None:
-                    yield pending.result()
-                pending = fut
-            in_flight = (out, pack_spec, metadata, b, images)
-        if in_flight is not None:
-            fut = drain(in_flight)
-            if pending is not None:
-                yield pending.result()
-            pending = fut
-        if pending is not None:
-            yield pending.result()
+            in_flight.append((out, pack_spec, metadata, b, images))
+            if len(in_flight) > depth:
+                drain_one()
+            while len(pending) > 1:
+                yield pending.popleft().result()
+        while in_flight:
+            drain_one()
+        while pending:
+            yield pending.popleft().result()

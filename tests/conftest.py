@@ -20,9 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # The axon TPU plugin in this image force-prepends itself to jax_platforms
 # regardless of JAX_PLATFORMS; override the config directly so tests run on
 # the virtual 8-device CPU mesh, never the (slow, single-chip) tunnel.
+# `LRF_TPU_TESTS_TPU=1` keeps the real TPU instead, enabling the
+# compiled-(non-interpret-)mode kernel tests (run those alone — the chip is
+# single-client and every first compile pays the tunnel).
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("LRF_TPU_TESTS_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import types
 

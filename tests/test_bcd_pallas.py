@@ -7,9 +7,16 @@ flips a round() at an ulp-level tie.
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
-from lrf_tpu.ops.bcd import bcd_sweep, make_project, qmf_loss, svd_init
+from lrf_tpu.ops.bcd import (
+    bcd_sweep,
+    make_project,
+    qmf_decompose,
+    qmf_loss,
+    svd_init,
+)
 from lrf_tpu.ops.bcd_pallas import bcd_pallas, qmf_decompose_pallas
 
 RNG = np.random.default_rng(17)
@@ -65,3 +72,51 @@ def test_zero_iters_returns_init():
     u, v = bcd_pallas(x, u0, v0, num_iters=0, bounds=(-16, 15), tile_m=64, interpret=True)
     # zero sweeps: factors unchanged (u buffer aliased from u0, v copied out)
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u0))
+
+
+def test_batch_chunking_matches_unchunked():
+    # B > batch_chunk runs as lax.map over chunks (bounds XLA's scoped-VMEM
+    # stack, which grows with B); results must match the unchunked kernel
+    # exactly, including a ragged final chunk.
+    x = jnp.asarray(RNG.integers(0, 256, (10, 128, 64)).astype(np.float32))
+    u0, v0, _ = svd_init(x, 4, bounds=(-16, 15))
+    u1, v1 = bcd_pallas(
+        x, u0, v0, num_iters=3, bounds=(-16, 15), interpret=True,
+        batch_chunk=4,
+    )
+    u2, v2 = bcd_pallas(
+        x, u0, v0, num_iters=3, bounds=(-16, 15), interpret=True,
+        batch_chunk=16,
+    )
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled (non-interpret) kernel needs real TPU "
+    "(run with LRF_TPU_TESTS_TPU=1 on the TPU host)",
+)
+def test_compiled_kernel_matches_xla_on_tpu():
+    """Compiled-mode correctness on the real chip at a bench-like shape —
+    the CI suite only exercises interpret mode on CPU; the committed
+    measurement artifact is experiments/pallas_evidence.json.
+
+    Factors agree only in the large: a single accumulation-order round()
+    flip early in a sweep cascades through the remaining Gauss-Seidel
+    column updates (each column conditions on all others), so the paths
+    reach different-but-equivalent integer minima. The contract is
+    loss-level equivalence plus majority elementwise agreement.
+    """
+    x = jnp.asarray(RNG.integers(0, 256, (4, 1536, 64)).astype(np.float32))
+    rank, iters, bounds = 6, 10, (-16, 15)
+    u0, v0, _ = svd_init(x, rank, bounds=bounds)
+    up, vp = bcd_pallas(x, u0, v0, num_iters=iters, bounds=bounds)
+    uj, vj, _ = qmf_decompose(
+        x, rank=rank, num_iters=iters, bounds=bounds, factor=(0, 1)
+    )
+    assert float((np.asarray(up) == np.asarray(uj)).mean()) > 0.8
+    assert float((np.asarray(vp) == np.asarray(vj)).mean()) > 0.8
+    loss_p = float(qmf_loss(x, up, vp))
+    loss_j = float(qmf_loss(x, uj, vj))
+    assert abs(loss_p - loss_j) / loss_j < 0.02, (loss_p, loss_j)
