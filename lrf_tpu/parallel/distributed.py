@@ -6,11 +6,12 @@ SURVEY.md §2.5). Design per the JAX multi-host recipe:
 - each process calls `initialize()` (`jax.distributed.initialize`), then
   encodes its contiguous slice of the dataset on its local devices;
 - encoded streams are variable-length bytes, so the gather is two-phase:
-  an all-gather of the per-image length table, then an all-gather of
-  zero-padded payload buffers, reassembled **in original dataset order** on
+  an all-gather of the per-image length table, then a **ragged payload
+  gather in bounded fixed-size rounds** (each process's blobs flattened to
+  one contiguous buffer; peak gather memory `P x chunk` per round, not
+  `P x count x max_len`), reassembled **in original dataset order** on
   every host (host 0 writes them out). Collectives ride ICI within a slice
-  and DCN across slices; payload gather uses one fused all-gather rather
-  than per-image sends.
+  and DCN across slices.
 
 Single-process runs degrade gracefully: `process_count() == 1` makes every
 gather a no-op, which is how the unit tests exercise this path.
@@ -63,39 +64,66 @@ def shard_range(n_items: int, index: Optional[int] = None, count: Optional[int] 
     return start, end
 
 
-def allgather_bytes(local_blobs: Sequence[bytes]) -> list[bytes]:
+def allgather_bytes(
+    local_blobs: Sequence[bytes], chunk_bytes: int = 8 * 1024 * 1024
+) -> list[bytes]:
     """All-gather variable-length byte blobs across processes, order-preserving.
 
-    Two-phase: (1) all-gather a per-process (count, max_len) table;
-    (2) all-gather zero-padded uint8 payload buffers; trim and concatenate in
-    process order. With one process this is the identity.
+    Ragged gather in bounded rounds: (1) all-gather the per-process blob
+    count + length table; (2) each process flattens its blobs into ONE
+    contiguous payload and the payloads are all-gathered in fixed-size
+    `chunk_bytes` rounds — peak gather buffer is `P x chunk_bytes` per round
+    regardless of dataset size (a dense `P x max_count x max_len` gather
+    would be memory-hostile for e.g. CLIC at high quality across many
+    hosts). Rounds = ceil(max_total / chunk); processes whose payload is
+    exhausted contribute zero padding. With one process this is the identity.
     """
     if process_count() == 1:
         return list(local_blobs)
 
     from jax.experimental import multihost_utils
 
+    p_count = jax.process_count()
     local_lens = np.asarray([len(b) for b in local_blobs], dtype=np.int64)
-    # (1) gather counts then lengths (padded to max count)
-    counts = multihost_utils.process_allgather(np.asarray([len(local_blobs)], np.int64))
+    # (1) one gather carries [count, len_0 .. len_{max_count-1}]; max_count
+    # is bounded by a tiny count-only gather first.
+    counts = multihost_utils.process_allgather(
+        np.asarray([len(local_blobs)], np.int64)
+    )
     counts = np.asarray(counts).reshape(-1)
     max_count = int(counts.max())
     lens_padded = np.zeros(max_count, dtype=np.int64)
     lens_padded[: len(local_lens)] = local_lens
     all_lens = np.asarray(multihost_utils.process_allgather(lens_padded))
-    all_lens = all_lens.reshape(jax.process_count(), max_count)
-    # (2) gather payloads, each padded to the global max length
-    max_len = int(all_lens.max()) if all_lens.size else 0
-    payload = np.zeros((max_count, max_len), dtype=np.uint8)
-    for i, b in enumerate(local_blobs):
-        payload[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    gathered = np.asarray(multihost_utils.process_allgather(payload))
-    gathered = gathered.reshape(jax.process_count(), max_count, max_len)
+    all_lens = all_lens.reshape(p_count, max_count)
+
+    # (2) flat local payload, gathered in bounded rounds
+    totals = all_lens.sum(axis=1)
+    max_total = int(totals.max()) if totals.size else 0
+    n_rounds = max(1, -(-max_total // chunk_bytes)) if max_total else 0
+    flat = bytearray().join(local_blobs) if local_blobs else b""
+    flat = np.frombuffer(bytes(flat), dtype=np.uint8)
+    payloads = [bytearray() for _ in range(p_count)]
+    for r in range(n_rounds):
+        lo = r * chunk_bytes
+        piece = np.zeros(chunk_bytes, dtype=np.uint8)
+        part = flat[lo : lo + chunk_bytes]
+        piece[: len(part)] = part
+        gathered = np.asarray(multihost_utils.process_allgather(piece))
+        gathered = gathered.reshape(p_count, chunk_bytes)
+        for p in range(p_count):
+            need = int(totals[p]) - lo
+            if need > 0:
+                payloads[p] += gathered[p, : min(need, chunk_bytes)].tobytes()
 
     out: list[bytes] = []
-    for p in range(jax.process_count()):
+    for p in range(p_count):
+        off = 0
+        buf = payloads[p]
         for i in range(int(counts[p])):
-            out.append(gathered[p, i, : int(all_lens[p, i])].tobytes())
+            n = int(all_lens[p, i])
+            out.append(bytes(buf[off : off + n]))
+            off += n
     return out
 
 

@@ -198,6 +198,14 @@ class Plot:
         import seaborn as sns
 
         self.x, self.y = x, y
+        if self.data[groupby].dtype.kind in "ifub":
+            # numeric ablation knobs (num_iters, patch_size, ...) must plot
+            # as ordered categories — numeric hue would give a continuous
+            # colormap and a subsampled tick legend
+            order = sorted(self.data[groupby].unique())
+            self.data = self.data.assign(**{groupby: self.data[groupby].astype(str)})
+            if legend_labels is None:
+                legend_labels = tuple(str(v) for v in order)
         if legend_labels is None:
             legend_labels = tuple(self.data[groupby].unique())
 
@@ -242,7 +250,11 @@ class Plot:
         ax.set_xlim(*xlim)
         ax.set_ylim(*ylim)
         handles, labels = ax.get_legend_handles_labels()
-        pairs = [(handles[labels.index(lbl)], lbl) for lbl in legend_labels]
+        # matplotlib reports legend labels as strings; groupby values may be
+        # numeric (e.g. num_iters) — match on their string form
+        pairs = [
+            (handles[labels.index(str(lbl))], lbl) for lbl in legend_labels
+        ]
         sns.move_legend(
             ax, "lower right", handles=[p[0] for p in pairs], labels=[p[1] for p in pairs]
         )

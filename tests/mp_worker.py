@@ -46,6 +46,18 @@ def main() -> None:
         lambda shard: sharded_qmf_encode_batch(shard, mesh, quality=20, num_iters=2),
     )
     assert len(streams) == len(dataset), (len(streams), len(dataset))
+
+    # Exercise the bounded-round ragged gather on this real cluster: a tiny
+    # chunk size forces multiple rounds with unequal per-process totals.
+    from lrf_tpu.parallel.distributed import allgather_bytes
+
+    local = [bytes([65 + pid]) * (3 + 5 * pid + i) for i in range(2 + pid)]
+    expected = []
+    for p in range(n):
+        expected += [bytes([65 + p]) * (3 + 5 * p + i) for i in range(2 + p)]
+    got = allgather_bytes(local, chunk_bytes=7)
+    assert got == expected, (got, expected)
+
     if jax.process_index() == 0:
         with open(out_path, "wb") as f:
             f.write(combine_bytes(list(streams) + [b"end"]))

@@ -159,6 +159,34 @@ class TestPlot:
         jpeg = interior[interior["method"] == "JPEG"]["PSNR (dB)"].mean()
         assert qmf > jpeg
 
+    def test_numeric_groupby_legend(self, tmp_path):
+        # ablation plots group by numeric knobs (e.g. num_iters=0); the
+        # legend match must survive matplotlib stringifying the labels
+        rng = np.random.default_rng(3)
+        rows = [
+            {
+                "data": "a.png",
+                "num_iters": k,
+                "bit rate (bpp)": float(bpp),
+                "PSNR (dB)": float(20 + k + 10 * bpp + rng.normal(0, 0.05)),
+            }
+            for k in (0, 2, 10)
+            for bpp in np.linspace(0.08, 0.45, 8)
+        ]
+        import matplotlib
+
+        matplotlib.use("Agg")
+        plot = Plot(rows)
+        plot.interpolate(
+            x="bit rate (bpp)",
+            y="PSNR (dB)",
+            groupby="num_iters",
+            x_values=np.linspace(0.05, 0.5, 8),
+        )
+        plot.plot(x="bit rate (bpp)", y="PSNR (dB)", groupby="num_iters")
+        plot.save(save_dir=str(tmp_path), prefix="ablation")
+        assert (tmp_path / "ablation_psnr.pdf").exists()
+
 
 class TestViz:
     def test_vis_helpers(self, kodim01, tmp_path):
