@@ -11,8 +11,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from common import default_argparser, run_over_dataset, sweep_qmf  # noqa: E402 (adds the repo root to sys.path)
+
 import lrf_tpu
-from common import default_argparser, run_over_dataset, sweep_qmf
 from lrf_tpu.utils.eval import eval_compression
 
 

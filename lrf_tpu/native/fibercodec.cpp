@@ -231,32 +231,43 @@ int lrf_compress_fibers(const uint8_t* data, int64_t num_fibers,
 // `seg_values[s]` values (chunk padding decoded and dropped) and its first
 // exception row is `seg_ovf_base[s]`. Output: int8 values (symbol + lo),
 // segments concatenated.
-int lrf_huffman_decode_segments(const uint8_t* main, const uint8_t* exc,
-                                int64_t n_exc_rows, const int64_t* seg_ovf_base,
-                                const int64_t* seg_values, int64_t num_segments,
-                                const int32_t* lens, const uint32_t* codes,
-                                int64_t alphabet, int64_t chunk,
-                                int64_t main_words, int64_t tail_words,
-                                int32_t lo, int8_t* out) {
-  constexpr int kMaxLen = 12;
-  // 4096-entry LUT: index = next 12 bits (LSB-first) -> (symbol, length)
+// Decode the delta+zigzag Huffman transport (lrf_tpu/ops/entropy.py
+// `pack_segments`): fixed `main_words`-word slot per chunk of 64 symbols +
+// `row_words`-word continuation rows allocated densely in chunk order, with
+// per-segment row bases. Emits factor VALUES: inverse zigzag then running
+// sum along the segment's rank stride (the encoder differenced each
+// (M, R) factor along M with rank-interleaved flattening).
+int lrf_dpack_decode_segments(const uint8_t* main, const uint8_t* exc,
+                              int64_t n_exc_rows, const int64_t* seg_row_base,
+                              const int64_t* seg_values,
+                              const int64_t* seg_ranks, int64_t num_segments,
+                              const int32_t* lens, const uint32_t* codes,
+                              int64_t alphabet, int64_t chunk,
+                              int64_t main_words, int64_t row_words,
+                              int64_t max_len, int8_t* out) {
+  if (max_len <= 0 || max_len > 16) return 1;
   struct Entry {
     int8_t sym;
     int8_t len;
   };
-  std::vector<Entry> lut(1 << kMaxLen);
+  // LUT: index = next `max_len` bits (LSB-first) -> (symbol, length)
+  std::vector<Entry> lut(static_cast<size_t>(1) << max_len);
   for (int64_t s = 0; s < alphabet; ++s) {
     int L = lens[s];
-    if (L <= 0 || L > kMaxLen) return 1;
+    if (L <= 0 || L > max_len) return 1;
     uint32_t c = codes[s];
-    for (uint32_t fill = 0; fill < (1u << (kMaxLen - L)); ++fill) {
+    for (uint32_t fill = 0; fill < (1u << (max_len - L)); ++fill) {
       uint32_t idx = c | (fill << L);
       lut[idx] = {static_cast<int8_t>(s), static_cast<int8_t>(L)};
     }
   }
   const int64_t main_bytes = main_words * 4;
-  const int64_t tail_bytes = tail_words * 4;
+  const int64_t row_bytes = row_words * 4;
   const int64_t main_bits = main_words * 32;
+  const int64_t row_bits = row_words * 32;
+  const int64_t max_rows =
+      (chunk * max_len - main_bits + row_bits - 1) / row_bits;
+  const uint32_t lut_mask = (1u << max_len) - 1;
   // per-segment output offsets and first-chunk ids
   std::vector<int64_t> out_off(static_cast<size_t>(num_segments));
   std::vector<int64_t> chunk0(static_cast<size_t>(num_segments));
@@ -269,34 +280,59 @@ int lrf_huffman_decode_segments(const uint8_t* main, const uint8_t* exc,
   }
   std::vector<int> rcs(static_cast<size_t>(num_segments), 0);
   parallel_for(num_segments, [&](int64_t s) {
+    const int64_t r_stride = seg_ranks[s];
+    if (r_stride <= 0) {
+      rcs[static_cast<size_t>(s)] = 2;
+      return;
+    }
     int8_t* dst = out + out_off[static_cast<size_t>(s)];
     int64_t remaining = seg_values[s];
     int64_t cid = chunk0[static_cast<size_t>(s)];
-    int64_t exc_cursor = seg_ovf_base[s];
-    // contiguous scratch: main slot + exception tail + lookahead headroom
-    std::vector<uint8_t> buf(static_cast<size_t>(main_bytes + tail_bytes + 4), 0);
+    int64_t row_cursor = seg_row_base[s];
+    int64_t v = 0;  // value index within the segment (for the rank stride)
+    std::vector<int32_t> run(static_cast<size_t>(r_stride), 0);
+    // scratch: main slot + worst-case continuation rows + lookahead slack
+    std::vector<uint8_t> buf(
+        static_cast<size_t>(main_bytes + max_rows * row_bytes + 4), 0);
     while (remaining > 0) {
       std::memcpy(buf.data(), main + cid * main_bytes,
                   static_cast<size_t>(main_bytes));
-      if (exc_cursor < n_exc_rows) {
-        std::memcpy(buf.data() + main_bytes, exc + exc_cursor * tail_bytes,
-                    static_cast<size_t>(tail_bytes));
-      } else {
-        std::memset(buf.data() + main_bytes, 0,
-                    static_cast<size_t>(tail_bytes));
-      }
+      int64_t filled = main_bytes;  // bytes of buf holding real stream data
+      int64_t peek = row_cursor;
       int64_t take = remaining < chunk ? remaining : chunk;
       int64_t bitpos = 0;
       for (int64_t i = 0; i < chunk; ++i) {
+        // decode may peek past the last code's end; rows consumed are
+        // counted from the final bit position (mirroring the encoder), so
+        // over-peeked rows stay available to the next chunk
+        while (((bitpos + max_len + 7) >> 3) + 1 > filled) {
+          if (peek < n_exc_rows) {
+            std::memcpy(buf.data() + filled, exc + peek * row_bytes,
+                        static_cast<size_t>(row_bytes));
+          } else {
+            std::memset(buf.data() + filled, 0,
+                        static_cast<size_t>(row_bytes));
+          }
+          filled += row_bytes;
+          ++peek;
+        }
         int64_t byte0 = bitpos >> 3;
         uint32_t window = static_cast<uint32_t>(buf[byte0]) |
                           (static_cast<uint32_t>(buf[byte0 + 1]) << 8) |
                           (static_cast<uint32_t>(buf[byte0 + 2]) << 16);
-        Entry e = lut[(window >> (bitpos & 7)) & 0xFFF];
-        if (i < take) dst[i] = static_cast<int8_t>(e.sym + lo);
+        Entry e = lut[(window >> (bitpos & 7)) & lut_mask];
+        if (i < take) {
+          int32_t zz = e.sym;
+          int32_t d = (zz & 1) ? -((zz + 1) >> 1) : (zz >> 1);
+          int32_t& a = run[static_cast<size_t>(v % r_stride)];
+          a += d;
+          dst[i] = static_cast<int8_t>(a);
+          ++v;
+        }
         bitpos += e.len;
       }
-      if (bitpos > main_bits) ++exc_cursor;
+      if (bitpos > main_bits)
+        row_cursor += (bitpos - main_bits + row_bits - 1) / row_bits;
       dst += take;
       remaining -= take;
       ++cid;

@@ -105,18 +105,19 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
-    # int huffman_decode_segments(const uint8_t* main, const uint8_t* exc,
-    #     int64_t n_exc_rows, const int64_t* seg_ovf_base,
-    #     const int64_t* seg_values, int64_t num_segments,
-    #     const int32_t* lens, const uint32_t* codes, int64_t alphabet,
-    #     int64_t chunk, int64_t main_words, int64_t tail_words,
-    #     int32_t lo, int8_t* out)
+    # int dpack_decode_segments(const uint8_t* main, const uint8_t* exc,
+    #     int64_t n_exc_rows, const int64_t* seg_row_base,
+    #     const int64_t* seg_values, const int64_t* seg_ranks,
+    #     int64_t num_segments, const int32_t* lens, const uint32_t* codes,
+    #     int64_t alphabet, int64_t chunk, int64_t main_words,
+    #     int64_t row_words, int64_t max_len, int8_t* out)
     try:
-        lib.lrf_huffman_decode_segments.restype = ctypes.c_int
-        lib.lrf_huffman_decode_segments.argtypes = [
+        lib.lrf_dpack_decode_segments.restype = ctypes.c_int
+        lib.lrf_dpack_decode_segments.argtypes = [
             ctypes.c_char_p,
             ctypes.c_char_p,
             ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
@@ -126,10 +127,10 @@ def _load():
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int64,
-            ctypes.c_int32,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int8),
         ]
-    except AttributeError:  # stale .so from before the entropy coder
+    except AttributeError:  # stale .so from before the dpack coder
         pass
     _lib = lib
     return lib
@@ -182,46 +183,49 @@ def compress_fibers(
     ]
 
 
-def huffman_decode_segments(
+def dpack_decode_segments(
     main: np.ndarray,
     exc: np.ndarray,
-    seg_ovf_base: np.ndarray,
+    seg_row_base: np.ndarray,
     seg_values: Sequence[int],
+    seg_ranks: Sequence[int],
     lens: np.ndarray,
     codes: np.ndarray,
     chunk: int,
     main_words: int,
-    tail_words: int,
-    lo: int,
+    row_words: int,
 ) -> Optional[np.ndarray]:
-    """Decode the device entropy coder's fixed-slot + exception-tail format
-    to int8 values. None if no lib (callers fall back to
-    `lrf_tpu.ops.entropy.decode_segments_py`)."""
+    """Decode the device delta+Huffman transport (fixed main slot +
+    continuation rows) straight to int8 factor VALUES (inverse zigzag +
+    running-sum undo of the delta inside the decoder). None if no lib
+    (callers fall back to `lrf_tpu.ops.entropy.decode_segments_py`)."""
     lib = _load()
-    if lib is None or not hasattr(lib, "lrf_huffman_decode_segments"):
+    if lib is None or not hasattr(lib, "lrf_dpack_decode_segments"):
         return None
     main_b = np.ascontiguousarray(main).view(np.uint8).reshape(-1)
     exc_b = np.ascontiguousarray(exc).view(np.uint8).reshape(-1)
-    n_exc_rows = exc_b.size // (tail_words * 4)
-    seg_ovf64 = np.ascontiguousarray(seg_ovf_base, dtype=np.int64)
+    n_exc_rows = exc_b.size // (row_words * 4)
+    seg_base64 = np.ascontiguousarray(seg_row_base, dtype=np.int64)
     seg_values64 = np.ascontiguousarray(seg_values, dtype=np.int64)
+    seg_ranks64 = np.ascontiguousarray(seg_ranks, dtype=np.int64)
     lens32 = np.ascontiguousarray(lens, dtype=np.int32)
     codes32 = np.ascontiguousarray(codes, dtype=np.uint32)
     out = np.empty(int(seg_values64.sum()), np.int8)
-    rc = lib.lrf_huffman_decode_segments(
+    rc = lib.lrf_dpack_decode_segments(
         main_b.tobytes(),
         exc_b.tobytes(),
         n_exc_rows,
-        seg_ovf64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seg_base64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         seg_values64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seg_ranks64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(seg_values64),
         lens32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         codes32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         len(lens32),
         chunk,
         main_words,
-        tail_words,
-        lo,
+        row_words,
+        int(lens32.max()),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
     )
     if rc != 0:

@@ -58,14 +58,14 @@ _EXC_PIECE_WORDS = 16 * 1024  # 64 KiB pieces for the (mostly unused) tails
 
 
 class EntropyOverflowError(Exception):
-    """The entropy pack's device-side exception budget was exceeded for a
-    batch (data far from the static Huffman table's distribution); callers
+    """The entropy pack's device-side continuation-row budget was exceeded
+    for a batch (data far from the static code's distribution); callers
     re-encode that batch with the flat pack."""
 
     def __init__(self, n_ovf: int, budget: int):
         super().__init__(
-            f"{n_ovf} overflowing chunks exceed the {budget}-row exception "
-            "budget; falling back to flat packing for this batch"
+            f"{n_ovf} continuation rows exceed the {budget}-row budget; "
+            "falling back to flat packing for this batch"
         )
 
 
@@ -221,8 +221,7 @@ def _cached_sharded_encoder(
         if pack == "entropy":
             from lrf_tpu.ops.entropy import pack_segments
 
-            lo, _ = _pack_params(bounds)
-            seg_base, main, exc = pack_segments(list(factors), lo)
+            seg_base, main, exc = pack_segments(list(factors))
             return (
                 (seg_base,)
                 + _split_pieces(main, _FETCH_CHUNK_WORDS)
@@ -263,8 +262,8 @@ def build_sharded_encoder(
     needs to reverse the packing (`batch` must be given to enable packing,
     since factor shapes include the batch dim).
 
-    `pack` modes: "entropy" — device-side static-Huffman bit-pack
-    (~3.6 bits/value transport; `lrf_tpu.ops.entropy`), "flat" (or True) —
+    `pack` modes: "entropy" — device-side delta + static-Huffman bit-pack
+    (~2.6 bits/value transport; `lrf_tpu.ops.entropy`), "flat" (or True) —
     5-bit flat pack, False/"" — raw factor arrays. None auto-selects on
     single-device TPU meshes (where the D2H fetch over the tunnel
     dominates): "entropy" for the canonical int8/(-16, 15) config with
@@ -368,7 +367,7 @@ def build_sharded_encoder(
             c_total = bounds_idx[-1]
             main_words = c_total * _entropy.MAIN_WORDS
             exc_budget = _entropy.default_exc_rows(c_total)
-            exc_words = exc_budget * _entropy.TAIL_WORDS
+            exc_words = exc_budget * _entropy.ROW_WORDS
             pack_spec.update(
                 values_per_segment=tuple(values),
                 main_words=main_words,
@@ -452,7 +451,7 @@ def _fetch_encoded(out, pack_spec):
         # data far outside the static table's distribution (e.g. noise at
         # extreme symbols): the exception buffer was truncated on device
         raise EntropyOverflowError(n_ovf, pack_spec["exc_budget"])
-    exc_words_used = n_ovf * _entropy.TAIL_WORDS
+    exc_words_used = n_ovf * _entropy.ROW_WORDS
     n_exc = min(
         pack_spec["n_exc_pieces"], max(1, -(-exc_words_used // _EXC_PIECE_WORDS))
     )
@@ -469,29 +468,29 @@ def _fetch_encoded(out, pack_spec):
 
 
 def _decode_entropy(host_out, pack_spec):
-    """Huffman-decode the fetched (seg_base, main, exc) buffers to the int8
-    factor arrays (native decoder; pure-python fallback)."""
+    """Decode the fetched (seg_base, main, exc) delta+Huffman buffers to the
+    int8 factor arrays (native decoder; pure-python fallback)."""
     from lrf_tpu.native import fibercodec as _native
     from lrf_tpu.ops import entropy as _entropy
 
     seg_base, main, exc = host_out
     values_per_segment = pack_spec["values_per_segment"]
-    lo = pack_spec["lo"]
-    flat = _native.huffman_decode_segments(
+    seg_ranks = _entropy.segment_ranks(pack_spec["shapes"])
+    flat = _native.dpack_decode_segments(
         main,
         exc,
         seg_base,
         values_per_segment,
+        seg_ranks,
         _entropy.LENS,
         _entropy.CODES,
         _entropy.CHUNK,
         _entropy.MAIN_WORDS,
-        _entropy.TAIL_WORDS,
-        lo,
+        _entropy.ROW_WORDS,
     )
     if flat is None:
         flat = _entropy.decode_segments_py(
-            main, exc, seg_base, values_per_segment, lo
+            main, exc, seg_base, values_per_segment, seg_ranks
         ).astype(pack_spec["dtype"])
     factors = []
     offset = 0
