@@ -128,6 +128,11 @@ class Pool {
       for (int64_t i = 0; i < n; ++i) fn(i);
       return;
     }
+    // One parallel_for at a time: task_/next_/remaining_ are single shared
+    // slots, so a second concurrent caller (e.g. two GIL-released
+    // serializer threads) would overwrite the task the workers are still
+    // draining. Callers queue here; each still fans out over all cores.
+    std::lock_guard<std::mutex> submission(submit_mu_);
     std::unique_lock<std::mutex> lock(mu_);
     task_ = fn;
     total_ = n;
@@ -171,6 +176,7 @@ class Pool {
   }
 
   std::vector<std::thread::id> workers_;
+  std::mutex submit_mu_;  // serializes whole run() calls (see above)
   std::mutex mu_;
   std::condition_variable cv_;
   std::condition_variable done_cv_;

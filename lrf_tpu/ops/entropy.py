@@ -207,11 +207,13 @@ def segment_ranks(shapes):
 
 
 def default_exc_rows(c_total: int) -> int:
-    """Continuation-row budget: 1.75 rows/chunk (typical usage is ~0.6 on
-    factor data; only *used* rows are ever fetched, so the budget costs HBM,
-    not transfer — callers fall back to flat packing on the rare batch that
-    exceeds it)."""
-    return c_total + (c_total >> 1) + (c_total >> 2) + 64
+    """Continuation-row budget: 1.125 rows/chunk. The whole budget transfers
+    (the transport is one eagerly-fetched buffer — a data-dependent
+    used-rows-only fetch would add a serialized tunnel round trip per batch,
+    measured ~3x slower end-to-end), so the budget is sized to typical usage
+    (~0.6 rows/chunk on the corpus, ~0.85 on the bench batch) plus margin;
+    callers fall back to flat packing on the rare batch that exceeds it."""
+    return c_total + (c_total >> 3) + 64
 
 
 def _encode_symbols(zz):

@@ -54,7 +54,6 @@ __all__ = [
 
 
 _FETCH_CHUNK_WORDS = 64 * 1024  # 256 KiB of uint32 per output piece
-_EXC_PIECE_WORDS = 16 * 1024  # 64 KiB pieces for the (mostly unused) tails
 
 
 class EntropyOverflowError(Exception):
@@ -70,19 +69,23 @@ class EntropyOverflowError(Exception):
 
 
 def _split_pieces(flat, piece_words: int):
-    """Split a 1-D device array into fixed-size program outputs.
+    """Split a 1-D device array into equal-size program outputs of at most
+    `piece_words` words each.
 
     Each piece can start its own `copy_to_host_async` at dispatch (see
-    `_pack_factors`), and callers may skip fetching pieces they can prove
-    unused (the entropy coder's exception buffer). Zero-pads the tail piece.
+    `_pack_factors`). Pieces are BALANCED (ceil(n / n_pieces), 512-byte
+    aligned) rather than fixed-size: a fixed 256 KiB grid pads the tail
+    piece with up to 255 KiB of zeros that the tunnel would transfer.
     """
     import jax.numpy as jnp
 
     n = flat.shape[0]
     n_pieces = max(1, -(-n // piece_words))
-    flat = jnp.pad(flat, (0, n_pieces * piece_words - n))
+    per = -(-n // n_pieces)
+    piece = -(-per // 128) * 128
+    flat = jnp.pad(flat, (0, n_pieces * piece - n))
     return tuple(
-        flat[i * piece_words : (i + 1) * piece_words] for i in range(n_pieces)
+        flat[i * piece : (i + 1) * piece] for i in range(n_pieces)
     )
 
 
@@ -103,18 +106,13 @@ def _pack_factors(factors, lo: int, bits: int):
     flat = jnp.concatenate(flats)
     total = flat.shape[0]
     n_words = -(-total // vals_per_word)
-    n_chunks = max(1, -(-n_words // _FETCH_CHUNK_WORDS))
-    padded = n_chunks * _FETCH_CHUNK_WORDS * vals_per_word
-    flat = jnp.pad(flat, (0, padded - total))
+    flat = jnp.pad(flat, (0, n_words * vals_per_word - total))
     words = flat.reshape(-1, vals_per_word).astype(jnp.uint32)
     shifts = jnp.asarray(
         [1 << (bits * j) for j in range(vals_per_word)], jnp.uint32
     )
     packed = jnp.sum(words * shifts[None, :], axis=1, dtype=jnp.uint32)
-    return tuple(
-        packed[i * _FETCH_CHUNK_WORDS : (i + 1) * _FETCH_CHUNK_WORDS]
-        for i in range(n_chunks)
-    )
+    return _split_pieces(packed, _FETCH_CHUNK_WORDS)
 
 
 def _unpack_factors(packed: np.ndarray, shapes, dtype, lo: int, bits: int):
@@ -222,11 +220,16 @@ def _cached_sharded_encoder(
             from lrf_tpu.ops.entropy import pack_segments
 
             seg_base, main, exc = pack_segments(list(factors))
-            return (
-                (seg_base,)
-                + _split_pieces(main, _FETCH_CHUNK_WORDS)
-                + _split_pieces(exc, _EXC_PIECE_WORDS)
+            # ONE flat buffer (bases | main | exc budget), split into
+            # uniform pieces that all start their D2H copy at dispatch —
+            # structurally identical to the flat transport. A data-
+            # dependent used-rows-only fetch (read bases, then fetch the
+            # needed exc pieces) serializes an extra tunnel round trip per
+            # batch and measured ~3x slower end-to-end.
+            flat = jnp.concatenate(
+                [seg_base.astype(jnp.uint32), main, exc]
             )
+            return _split_pieces(flat, _FETCH_CHUNK_WORDS)
         if pack == "flat":
             lo, bits = _pack_params(bounds)
             return _pack_factors(factors, lo, bits)
@@ -365,15 +368,14 @@ def build_sharded_encoder(
 
             values, _, bounds_idx = _entropy.segment_layout(shapes)
             c_total = bounds_idx[-1]
+            n_seg_words = len(values) + 1
             main_words = c_total * _entropy.MAIN_WORDS
             exc_budget = _entropy.default_exc_rows(c_total)
-            exc_words = exc_budget * _entropy.ROW_WORDS
             pack_spec.update(
                 values_per_segment=tuple(values),
+                n_seg_words=n_seg_words,
                 main_words=main_words,
                 exc_budget=exc_budget,
-                n_main_pieces=max(1, -(-main_words // _FETCH_CHUNK_WORDS)),
-                n_exc_pieces=max(1, -(-exc_words // _EXC_PIECE_WORDS)),
             )
     return fn, metadata, pack_spec
 
@@ -420,19 +422,12 @@ def _start_fetch(out, pack_spec):
     The packed chunk outputs transfer as soon as the program produces them,
     pipelined by the transport, overlapping both this batch's compute and
     subsequent device work (measured ~3x the throughput of one synchronous
-    750 KB fetch on the tunnel). For entropy mode only the segment bases,
-    the main stream pieces, and the first exception piece start eagerly —
-    how many exception pieces exist is data the bases will tell us.
+    750 KB fetch on the tunnel).
     """
     if pack_spec is None:
         return
-    if pack_spec["mode"] == "entropy":
-        n_main = pack_spec["n_main_pieces"]
-        for c in out[: 1 + n_main + 1]:
-            c.copy_to_host_async()
-    else:
-        for c in out:
-            c.copy_to_host_async()
+    for c in out:
+        c.copy_to_host_async()
 
 
 def _fetch_encoded(out, pack_spec):
@@ -440,31 +435,25 @@ def _fetch_encoded(out, pack_spec):
     if pack_spec is None:
         return [to_host(f) for f in out]  # (B, ., R) each
     _start_fetch(out, pack_spec)
+    flat = np.concatenate([np.asarray(c) for c in out])
     if pack_spec["mode"] != "entropy":
-        return np.concatenate([np.asarray(c) for c in out])
+        return flat
     from lrf_tpu.ops import entropy as _entropy
 
-    n_main = pack_spec["n_main_pieces"]
-    seg_base = np.asarray(out[0])
-    n_ovf = int(seg_base[-1])
-    if n_ovf > pack_spec["exc_budget"]:
-        # data far outside the static table's distribution (e.g. noise at
-        # extreme symbols): the exception buffer was truncated on device
-        raise EntropyOverflowError(n_ovf, pack_spec["exc_budget"])
-    exc_words_used = n_ovf * _entropy.ROW_WORDS
-    n_exc = min(
-        pack_spec["n_exc_pieces"], max(1, -(-exc_words_used // _EXC_PIECE_WORDS))
-    )
-    exc_pieces = out[1 + n_main : 1 + n_main + n_exc]
-    for c in exc_pieces[1:]:  # piece 0 already started eagerly
-        c.copy_to_host_async()
-    main = np.concatenate([np.asarray(c) for c in out[1 : 1 + n_main]])
-    exc = np.concatenate([np.asarray(c) for c in exc_pieces])
-    return (
-        seg_base,
-        main[: pack_spec["main_words"]],
-        exc[:exc_words_used],
-    )
+    n_seg = pack_spec["n_seg_words"]
+    seg_base = flat[:n_seg].astype(np.int32)
+    n_rows = int(seg_base[-1])
+    if n_rows > pack_spec["exc_budget"]:
+        # data far outside the static code's distribution (e.g. noise at
+        # extreme deltas): the row buffer was truncated on device
+        raise EntropyOverflowError(n_rows, pack_spec["exc_budget"])
+    main = flat[n_seg : n_seg + pack_spec["main_words"]]
+    exc = flat[
+        n_seg + pack_spec["main_words"] : n_seg
+        + pack_spec["main_words"]
+        + n_rows * _entropy.ROW_WORDS
+    ]
+    return (seg_base, main, exc)
 
 
 def _decode_entropy(host_out, pack_spec):
@@ -564,7 +553,11 @@ def sharded_qmf_encode_batches(
     # rather than fetch + exposed compute.
     depth = 2
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    # 2 serializer workers: the deflate / entropy-decode tail runs in
+    # GIL-released C++, and at entropy-transport rates one worker's tail
+    # time approaches the transport-bound period. Results stay ordered via
+    # the `pending` deque regardless of worker completion order.
+    with ThreadPoolExecutor(max_workers=2) as pool:
         in_flight = deque()  # (out, pack_spec, metadata, b, images)
         pending = deque()  # futures of list[bytes] — serializing
 
@@ -599,7 +592,7 @@ def sharded_qmf_encode_batches(
             in_flight.append((out, pack_spec, metadata, b, images))
             if len(in_flight) > depth:
                 drain_one()
-            while len(pending) > 1:
+            while len(pending) > 2:
                 yield pending.popleft().result()
         while in_flight:
             drain_one()
