@@ -149,3 +149,39 @@ class TestDeflateBackend:
             set_fiber_coder("zlib")
         # Same factors, different fiber compressor: decoded images identical.
         assert np.array_equal(dec, base_dec)
+
+
+@needs_native
+class TestThreadSafety:
+    def test_concurrent_compress_calls(self):
+        """parallel_for is shared global state; concurrent GIL-released
+        callers (the 2-worker serializer pool) must queue, not corrupt the
+        in-flight task (regression: simultaneous segfault of both
+        workers)."""
+        import threading
+
+        mats = [
+            RNG.integers(-16, 16, (2048, 6)).astype(np.int8) for _ in range(4)
+        ]
+        ref = [
+            fibercodec.compress_fibers(m, "col", backend="deflate")
+            for m in mats
+        ]
+        errs = []
+
+        def work(k):
+            for _ in range(20):
+                out = fibercodec.compress_fibers(
+                    mats[k % 4], "col", backend="deflate"
+                )
+                if out != ref[k % 4]:
+                    errs.append(k)
+
+        threads = [
+            threading.Thread(target=work, args=(k,)) for k in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
