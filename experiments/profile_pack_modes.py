@@ -42,11 +42,14 @@ def main():
     batch = np.stack([np.roll(img, 7 * i, axis=2) for i in range(BATCH)])
     mpix = BATCH * H * W / 1e6
 
+    log("devices...")
     mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+    log("upload...")
     device_batch = jax.device_put(
         jnp.asarray(batch), NamedSharding(mesh, P("data"))
     )
     jax.block_until_ready(device_batch)
+    log("upload done")
 
     results = {}
     for mode in ("flat", "entropy"):

@@ -317,12 +317,13 @@ def build_sharded_encoder(
         and np.dtype(dtype) == np.int8
     )
     if pack is None:
-        # auto = "flat": the device-side Huffman pack ("entropy") currently
-        # costs more device time than its transfer saving on the bench
-        # config (see experiments/pallas_evidence.json notes); it remains
-        # opt-in until its device cost is tuned below the fetch saving.
+        # auto: the delta+Huffman transport ("entropy") when the config
+        # supports it (measured faster end-to-end than the flat pack on the
+        # bench config — ~3.1 vs 5.0 bits/value on the wire at ~1.5 ms
+        # device cost; the rare off-distribution batch falls back to flat
+        # via EntropyOverflowError), else the 5-bit flat pack.
         if jax.default_backend() == "tpu" and mesh.devices.size == 1 and batch:
-            pack = "flat" if num_iters >= 1 else False
+            pack = ("entropy" if entropy_ok else "flat") if num_iters >= 1 else False
         else:
             pack = False
     elif pack is True:
