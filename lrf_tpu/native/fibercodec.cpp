@@ -297,9 +297,13 @@ int lrf_dpack_decode_segments(const uint8_t* main, const uint8_t* exc,
     int64_t row_cursor = seg_row_base[s];
     int64_t v = 0;  // value index within the segment (for the rank stride)
     std::vector<int32_t> run(static_cast<size_t>(r_stride), 0);
-    // scratch: main slot + worst-case continuation rows + lookahead slack
+    // scratch: main slot + worst-case continuation rows + lookahead slack.
+    // +1 row: when every code in a chunk is max_len the peek before the
+    // final symbol can demand ((chunk*max_len + 7) >> 3) + 1 bytes, which
+    // rounds up to one row beyond max_rows (the row itself is zero-padding
+    // the decoder never consumes past the last code's end bit).
     std::vector<uint8_t> buf(
-        static_cast<size_t>(main_bytes + max_rows * row_bytes + 4), 0);
+        static_cast<size_t>(main_bytes + (max_rows + 1) * row_bytes + 4), 0);
     while (remaining > 0) {
       std::memcpy(buf.data(), main + cid * main_bytes,
                   static_cast<size_t>(main_bytes));

@@ -85,8 +85,9 @@ def allgather_bytes(
 
     p_count = jax.process_count()
     local_lens = np.asarray([len(b) for b in local_blobs], dtype=np.int64)
-    # (1) one gather carries [count, len_0 .. len_{max_count-1}]; max_count
-    # is bounded by a tiny count-only gather first.
+    # (1) two gathers bound the length table: a tiny count-only gather
+    # first establishes max_count, then a max_count-padded gather carries
+    # each process's per-blob length table.
     counts = multihost_utils.process_allgather(
         np.asarray([len(local_blobs)], np.int64)
     )

@@ -117,6 +117,18 @@ class TestRoundTrip:
             main, exc[: n_rows * E.ROW_WORDS], seg_base, values, [2]
         )
         assert np.array_equal(dec, _flatten([worst]))
+        # the PRODUCTION native decoder must survive the same worst case:
+        # all-max-length chunks make the lookahead peek one row past
+        # max_rows (the round-2 ASan heap-overflow regression)
+        from lrf_tpu.native import fibercodec
+
+        if fibercodec.available():
+            out = fibercodec.dpack_decode_segments(
+                main, exc[: n_rows * E.ROW_WORDS], seg_base, values, [2],
+                E.LENS, E.CODES, E.CHUNK, E.MAIN_WORDS, E.ROW_WORDS,
+            )
+            assert out is not None
+            assert np.array_equal(out.astype(np.int32), _flatten([worst]))
 
     def test_all_delta_symbols_coverage(self):
         # a walk that exercises every delta in [-31, 31]: values ping-pong
