@@ -142,7 +142,14 @@ class QMF:
         self.rank = rank
         self.num_iters = num_iters
         self.bounds = tuple(bounds)
-        self.init = SVDInit(rank=rank, num_levels=num_levels, method=init_method)
+        # bounds flow into the initializer too: the clip-minimizing sign
+        # selection (ops/bcd.py svd_init) must fire identically here and in
+        # the functional `qmf_decompose`, or the two public APIs return
+        # different factors for the same parameters.
+        self.init = SVDInit(
+            rank=rank, num_levels=num_levels, method=init_method,
+            bounds=self.bounds,
+        )
         self.solver = CoordinateDescent(
             factor=factor, project=make_project(self.bounds), l2=l2, l1_ratio=l1_ratio
         )

@@ -18,6 +18,27 @@ class TestQMFClass:
         np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
+    def test_decompose_matches_functional_when_sign_selection_fires(self):
+        # Bright image-like data whose leading component CLIPS under the
+        # integer bounds: the clip-minimizing sign selection in svd_init
+        # actually changes the factors here, so this pins that the class
+        # API routes `bounds` into its initializer exactly like the
+        # functional path (round-2 divergence: QMF built SVDInit without
+        # bounds and silently skipped the selection).
+        x = jnp.asarray(
+            (200.0 + RNG.standard_normal((512, 64)) * 20).astype(np.float32)
+        )
+        qmf = QMF(rank=3, num_iters=4, bounds=(-16, 15), factor=(0, 1))
+        u1, v1, _ = qmf.decompose(x)
+        u2, v2, _ = qmf_decompose(
+            x, rank=3, num_iters=4, bounds=(-16, 15), factor=(0, 1)
+        )
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        # the selection really fired: leading component is negative-oriented
+        # (asymmetric bounds reach further on the negative side)
+        assert float(np.asarray(u1)[:, 0].sum()) < 0
+
     def test_forward_roundtrip(self):
         x = jnp.asarray(RNG.integers(0, 256, (64, 64)).astype(np.float32))
         recon = QMF(rank=8, num_iters=3, bounds=(-16, 15), factor=(0, 1))(x)
