@@ -53,7 +53,15 @@ __all__ = [
 ]
 
 
-_FETCH_CHUNK_WORDS = 64 * 1024  # 256 KiB of uint32 per output piece
+import os as _os
+
+# 256 KiB of uint32 per output piece by default. The axon tunnel hangs on
+# single D2H transfers over ~1 MiB, and per-piece round-trip overhead favors
+# fewer, larger pieces — overridable for transport sweeps
+# (experiments/profile_amortize.py).
+_FETCH_CHUNK_WORDS = int(
+    _os.environ.get("LRF_TPU_FETCH_CHUNK_WORDS", str(64 * 1024))
+)
 
 
 class EntropyOverflowError(Exception):
@@ -525,6 +533,7 @@ def sharded_qmf_encode_batches(
     mesh: Mesh,
     quality: Optional[float | tuple] = None,
     rank: Optional[int | tuple] = None,
+    depth: Optional[int] = None,
     **config,
 ):
     """Pipelined encode of a sequence of `(B, 3, H, W)` batches.
@@ -547,12 +556,14 @@ def sharded_qmf_encode_batches(
 
     from collections import deque
 
-    # Two batches stay in flight on the device: with dispatch (and its
-    # copy_to_host_async) issued two batches ahead of the blocking fetch,
-    # the device queue never drains while the main thread waits on the
-    # transport, so the steady-state period approaches the pure D2H bound
-    # rather than fetch + exposed compute.
-    depth = 2
+    # Batches stay in flight on the device: with dispatch (and its
+    # copy_to_host_async) issued `depth` batches ahead of the blocking
+    # fetch, the device queue never drains while the main thread waits on
+    # the transport, so the steady-state period approaches the pure D2H
+    # bound rather than fetch + exposed compute. Default 2; overridable per
+    # call or via LRF_TPU_PIPELINE_DEPTH for transport sweeps.
+    if depth is None:
+        depth = int(_os.environ.get("LRF_TPU_PIPELINE_DEPTH", "2"))
 
     # 2 serializer workers: the deflate / entropy-decode tail runs in
     # GIL-released C++, and at entropy-transport rates one worker's tail

@@ -47,10 +47,11 @@ class TestNative:
         np.testing.assert_array_equal(back, m)
 
     def test_container_uses_native_with_identical_bytes(self):
-        # encode_matrix must produce identical bytes whether or not the
-        # native path is used.
+        # With the zlib backend, encode_matrix must produce identical bytes
+        # whether or not the native path is used (same deflate settings).
         m = RNG.integers(-16, 16, (64, 5)).astype(np.int8)
-        with_native = encode_matrix(m)
+        with_native = encode_matrix(m, coder="zlib")
+        best_native = encode_matrix(m)  # default "best" coder
         import lrf_tpu.models.container as C
 
         orig = C._native
@@ -65,11 +66,17 @@ class TestNative:
 
         try:
             C._native = _Off
-            without_native = encode_matrix(m)
+            without_native = encode_matrix(m, coder="zlib")
+            best_fallback = encode_matrix(m)  # degrades to zlib-9
         finally:
             C._native = orig
         assert with_native == without_native
         np.testing.assert_array_equal(decode_matrix(with_native), m)
+        # "best" without the native lib falls back to zlib-9 bytes and
+        # still round-trips; with it, output is never larger
+        assert best_fallback == without_native
+        assert len(best_native) <= len(best_fallback)
+        np.testing.assert_array_equal(decode_matrix(best_native), m)
 
 
 class TestBatchedSerialization:
@@ -84,6 +91,12 @@ class TestBatchedSerialization:
         batched = encode_tensor_batch(t)
         unbatched = [encode_tensor(t[i]) for i in range(4)]
         assert batched == unbatched
+
+
+# restore the process-wide default coder after tests that change it
+# (hardcoding "zlib" here leaked into later tests when the default moved
+# to "best")
+DEFAULT_CODER = ("best", None)
 
 
 @needs_native
@@ -102,7 +115,7 @@ class TestDeflateBackend:
         try:
             blob = encode_matrix(m)
         finally:
-            set_fiber_coder("zlib")
+            set_fiber_coder(*DEFAULT_CODER)
         assert np.array_equal(decode_matrix(blob), m)
 
     def test_deflate_no_larger_on_real_factors(self, kodim01):
@@ -146,7 +159,7 @@ class TestDeflateBackend:
             assert qmf_encode(img, quality=20, num_iters=2) == enc  # deterministic
             dec = qmf_decode(enc)
         finally:
-            set_fiber_coder("zlib")
+            set_fiber_coder(*DEFAULT_CODER)
         # Same factors, different fiber compressor: decoded images identical.
         assert np.array_equal(dec, base_dec)
 
