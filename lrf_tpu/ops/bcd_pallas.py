@@ -12,12 +12,15 @@ updates — into one `pallas_call`:
 - `V` and the accumulators `A_v = X^T U`, `G = U^T U` persist in VMEM
   scratch across grid steps; `U` tiles stream HBM->VMEM->HBM via
   input/output aliasing; `X` tiles stream in once per sweep.
-- factors are held **rank-major** (`(R, tile)`) inside the kernel: the
-  Gauss-Seidel loop dynamically indexes the *rank* axis, and Mosaic supports
-  dynamic slicing on sublane/leading dims but not the lane dim — so the rank
-  axis lives on sublanes and each column update is a `(1, R) @ (R, tile)`
-  MXU GEMV plus VPU elementwise work. The diagonal element `G[r, r]` is
-  extracted with an iota one-hot reduction (no lane-dynamic indexing).
+- factors are held **rank-major** (`(R, tile)`) inside the kernel AND in
+  HBM (`U` as `(B, R, M)`; the caller pays one XLA transpose at entry/exit
+  instead of a Mosaic relayout per sweep): the Gauss-Seidel loop
+  dynamically indexes the *rank* axis, and Mosaic supports dynamic slicing
+  on sublane/leading dims but not the lane dim — so the rank axis lives on
+  sublanes and each column update is a `(1, R) @ (R, tile)` MXU GEMV plus
+  VPU elementwise work. The Gram diagonal is extracted once per sweep into
+  an `(R, 1)` scratch the column loop dynamic-slices (no per-column
+  one-hot reductions).
 - per tile and sweep: `G = V^T V` (MXU), `A = V^T X_tile^T` (MXU), the
   sequential rank loop with round-half-to-even + clamp projection
   (`lrf/factorization/qmf.py:107-126` semantics; the Gauss-Seidel exclusion
@@ -43,19 +46,27 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-16
 
 
-def _column_sweep_ref(a_ref, g_ref, u_ref, *, rank, lo, hi):
+def _column_sweep_ref(a_ref, g_ref, diag_ref, u_ref, *, rank, lo, hi):
     """Sequential Gauss-Seidel pass over rank rows of `u_ref`.
 
-    a_ref: (R, T) target products; g_ref: (R, R) Gram; u_ref: (R, T) factor,
-    updated in place. All rank-major.
+    a_ref: (R, T) target products; g_ref: (R, R) Gram; diag_ref: (R, 1)
+    scratch for the Gram diagonal; u_ref: (R, T) factor, updated in place.
+    All rank-major.
     """
+    # Hoist the diagonal extraction out of the column loop: one masked
+    # reduction per sweep (the Gram is fixed within a sweep) instead of a
+    # one-hot dot per column. `diag_ref` is sublane-major so the loop can
+    # dynamic-slice it (Mosaic allows dynamic sublane, not lane, indexing).
+    g = g_ref[:]
+    eye = (
+        lax.broadcasted_iota(jnp.int32, g.shape, 0)
+        == lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    ).astype(jnp.float32)
+    diag_ref[:] = jnp.sum(g * eye, axis=1, keepdims=True)  # (R, 1)
 
     def body(r, carry):
         g_row = g_ref[pl.ds(r, 1), :]  # (1, R)
-        onehot = (
-            lax.broadcasted_iota(jnp.int32, g_row.shape, 1) == r
-        ).astype(jnp.float32)
-        g_rr = jnp.sum(g_row * onehot, axis=1, keepdims=True)  # (1, 1)
+        g_rr = diag_ref[pl.ds(r, 1), :]  # (1, 1)
         u = u_ref[:]  # (R, T)
         u_r = u_ref[pl.ds(r, 1), :]  # (1, T)
         term2 = (
@@ -75,7 +86,7 @@ def _column_sweep_ref(a_ref, g_ref, u_ref, *, rank, lo, hi):
 
 def _bcd_kernel(
     x_ref, v_in_ref, u_in_ref, u_out_ref, v_out_ref,
-    v_s, atv_s, gu_s, gv_s, a_s, ut_s,
+    v_s, atv_s, gu_s, gv_s, a_s, ut_s, diag_s,
     *, rank, lo, hi, num_tiles,
 ):
     it = pl.program_id(1)
@@ -97,11 +108,15 @@ def _bcd_kernel(
         vt, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (X V)^T = (R, TILE_M)
     # u_in aliases u_out's buffer: at sweep `it` this block holds the tile
-    # written at sweep `it-1` (or the initializer at it=0).
-    ut_s[:] = u_in_ref[0].T  # (R, TILE_M)
-    _column_sweep_ref(a_s, gv_s, ut_s, rank=rank, lo=lo, hi=hi)
+    # written at sweep `it-1` (or the initializer at it=0). U is rank-major
+    # (R, TILE_M) in HBM too — the caller transposes once outside the
+    # kernel, instead of a (TILE_M, R) <-> (R, TILE_M) Mosaic relayout here
+    # on every load/store of every sweep (the round-2 profile's dominant
+    # kernel cost).
+    ut_s[:] = u_in_ref[0]  # (R, TILE_M)
+    _column_sweep_ref(a_s, gv_s, diag_s, ut_s, rank=rank, lo=lo, hi=hi)
     ut = ut_s[:]
-    u_out_ref[0] = ut.T
+    u_out_ref[0] = ut
 
     # ---- accumulate A_v^T = U^T X (R, N) and G_u = U^T U (R, R) ----
     xtu = jax.lax.dot_general(
@@ -124,7 +139,7 @@ def _bcd_kernel(
     # ---- V update after the last tile of the sweep ----
     @pl.when(t == num_tiles - 1)
     def _():
-        _column_sweep_ref(atv_s, gu_s, v_s, rank=rank, lo=lo, hi=hi)
+        _column_sweep_ref(atv_s, gu_s, diag_s, v_s, rank=rank, lo=lo, hi=hi)
 
     @pl.when(jnp.logical_and(it == pl.num_programs(1) - 1, t == num_tiles - 1))
     def _():
@@ -207,7 +222,10 @@ def bcd_pallas(
     num_tiles = m_pad // tile_m
 
     x = x.astype(jnp.float32)
-    u0 = u0.astype(jnp.float32)
+    # U travels rank-major (B, R, M): ONE XLA transpose here (and one on the
+    # way out) instead of a Mosaic (TILE_M, R) <-> (R, TILE_M) relayout on
+    # every U load+store of every sweep inside the kernel.
+    u0 = jnp.swapaxes(u0.astype(jnp.float32), -1, -2)  # (B, R, M_pad)
     v0 = v0.astype(jnp.float32)
 
     kernel = functools.partial(
@@ -225,19 +243,19 @@ def bcd_pallas(
                 (1, n, r), lambda bb, it, t: (bb, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, tile_m, r), lambda bb, it, t: (bb, t, 0), memory_space=pltpu.VMEM
+                (1, r, tile_m), lambda bb, it, t: (bb, 0, t), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, tile_m, r), lambda bb, it, t: (bb, t, 0), memory_space=pltpu.VMEM
+                (1, r, tile_m), lambda bb, it, t: (bb, 0, t), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, n, r), lambda bb, it, t: (bb, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, m_pad, r), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, n, r), jnp.float32),
         ],
         scratch_shapes=[
@@ -247,11 +265,12 @@ def bcd_pallas(
             pltpu.VMEM((r, r), jnp.float32),  # V^T V (per tile)
             pltpu.VMEM((r, tile_m), jnp.float32),  # A = (X V)^T
             pltpu.VMEM((r, tile_m), jnp.float32),  # U tile (rank-major)
+            pltpu.VMEM((r, 1), jnp.float32),  # Gram diagonal (per sweep)
         ],
         input_output_aliases={2: 0},
         interpret=interpret,
     )(x, v0, u0)
-    return u_out[:, :m, :], v_out
+    return jnp.swapaxes(u_out, -1, -2)[:, :m, :], v_out
 
 
 def qmf_decompose_pallas(

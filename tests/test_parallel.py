@@ -148,6 +148,53 @@ class TestShardedEncode:
         )
         assert plain == packed
 
+    def test_pipelined_overflow_fallback_ordered_no_compile(self, batch, monkeypatch):
+        # A mid-sequence batch that overflows the entropy row budget must
+        # (a) come back flat-packed but byte-identical to per-image encode,
+        # in order; (b) run through the AOT-warmed flat executable, not a
+        # fresh jit compile; (c) bump the adaptive budget so later batches
+        # use the entropy path again without falling back.
+        from lrf_tpu.ops import entropy as E
+        from lrf_tpu.parallel import encode as enc
+
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        b4 = batch[:4]
+        expected_one = sharded_qmf_encode_batch(
+            b4, mesh, quality=20, num_iters=2, pack=False
+        )
+
+        # tiny budget: the first entropy-packed batch necessarily overflows
+        monkeypatch.setattr(E, "default_exc_rows", lambda c_total: 8)
+        monkeypatch.setattr(enc, "_EXC_ROWS_HINT", {})
+        monkeypatch.setattr(
+            enc, "ENTROPY_STATS",
+            {"batches": 0, "fallbacks": 0, "max_rows": 0, "budget_bumps": 0},
+        )
+        monkeypatch.setattr(enc, "_FLAT_WARM", {})
+        # fail loudly if the fallback path ever reaches the compile-at-
+        # fallback-time one-shot API
+        monkeypatch.setattr(
+            enc, "sharded_qmf_encode_batch",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("fallback used jit path, not AOT executable")
+            ),
+        )
+        got = []
+        for streams in enc.sharded_qmf_encode_batches(
+            [b4] * 5, mesh, quality=20, num_iters=2, pack="entropy"
+        ):
+            got.extend(streams)
+        assert got == expected_one * 5
+        stats = enc.ENTROPY_STATS
+        assert stats["fallbacks"] >= 1
+        assert len(enc._FLAT_WARM) == 1  # fallback program was AOT-warmed
+        # Budget adapted: batches built after the first overflow was
+        # observed (i.e. beyond the in-flight depth) run the entropy path
+        # with the grown budget and do NOT fall back.
+        assert stats["budget_bumps"] >= 1
+        assert stats["batches"] == 5
+        assert stats["fallbacks"] <= 3
+
     def test_pipelined_batches_identical_streams(self, batch):
         # The overlapped generator must produce byte-identical streams, in
         # order, including across batches of different image sizes.
