@@ -120,14 +120,19 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
+    # interleaved min-of-3: the tunnel-attached device throttles on a
+    # seconds timescale, so single measurements swing +/-50%; the min of
+    # interleaved reps is the stable comparator
     jax.block_until_ready(chain_pallas(xm, u0, v0))
-    t0 = time.perf_counter()
-    jax.block_until_ready(chain_pallas(xm, u0, v0))
-    bcd_pal = (time.perf_counter() - t0) / reps
     jax.block_until_ready(chain_xla(xm, u0, v0))
-    t0 = time.perf_counter()
-    jax.block_until_ready(chain_xla(xm, u0, v0))
-    bcd_xla = (time.perf_counter() - t0) / reps
+    bcd_pal = bcd_xla = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain_pallas(xm, u0, v0))
+        bcd_pal = min(bcd_pal, (time.perf_counter() - t0) / reps)
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain_xla(xm, u0, v0))
+        bcd_xla = min(bcd_xla, (time.perf_counter() - t0) / reps)
 
     out = {
         "backend": jax.default_backend(),
@@ -151,6 +156,91 @@ def main() -> None:
             "speedup": round(bcd_xla / bcd_pal, 2),
         },
     }
+
+    # ---- shape/rank sweep with the same chained-probe methodology: the
+    # auto backend policy (parallel/encode.py) is justified by this table.
+    def make_chain(x, u0, v0, backend, rank, reps=10):
+        if backend == "pallas":
+
+            @jax.jit
+            def chain(x, u0, v0):
+                def body(i, acc):
+                    u, v = bcd_pallas(
+                        jnp.roll(x, i, 1), u0, v0, num_iters=iters,
+                        bounds=bounds,
+                    )
+                    return acc + u[0, 0, 0] + v[0, 0, 0]
+
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        else:
+            w_b = jnp.concatenate(
+                [jnp.zeros((x.shape[0], 1, 1)), jnp.ones((x.shape[0], 1, 1))],
+                axis=-2,
+            )
+
+            @jax.jit
+            def chain(x, u0, v0):
+                def body(i, acc):
+                    xr = jnp.roll(x, i, 1)
+
+                    def sweep(_, uv):
+                        u, v, _w = bcd_sweep(
+                            xr, uv[0], uv[1], w_b, factor=(0, 1),
+                            project=project,
+                        )
+                        return (u, v)
+
+                    u, v = jax.lax.fori_loop(0, iters, sweep, (u0, v0))
+                    return acc + u[0, 0, 0] + v[0, 0, 0]
+
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        return chain
+
+    rng = np.random.default_rng(0)
+    sweep_rows = []
+    for cb, cm, cn, cr in [
+        (24, 6144, 64, 6),    # bench shape, Kodak q=10
+        (24, 6144, 64, 26),   # Kodak q=40 (high rank)
+        (4, 49152, 64, 13),   # CLIC-scale M, q~20
+        (4, 49152, 64, 32),   # CLIC-scale M, high rank
+    ]:
+        xs = jnp.asarray(rng.integers(0, 256, (cb, cm, cn)).astype(np.float32))
+        u0s, v0s, _ = jax.block_until_ready(
+            jax.jit(lambda x: svd_init(x, cr, bounds=bounds))(xs)
+        )
+        n_reps = 10
+        chains = {
+            bk: make_chain(xs, u0s, v0s, bk, cr, reps=n_reps)
+            for bk in ("xla", "pallas")
+        }
+        best = {}
+        for bk, ch in chains.items():  # warm/compile
+            jax.block_until_ready(ch(xs, u0s, v0s))
+            best[bk] = float("inf")
+        for _ in range(3):  # interleaved min-of-3 (throttling robustness)
+            for bk, ch in chains.items():
+                t0 = time.perf_counter()
+                jax.block_until_ready(ch(xs, u0s, v0s))
+                best[bk] = min(best[bk], (time.perf_counter() - t0) / n_reps)
+        row = {
+            "shape": [cb, cm, cn],
+            "rank": cr,
+            "xla_ms": round(best["xla"] * 1000, 2),
+            "pallas_ms": round(best["pallas"] * 1000, 2),
+        }
+        row["speedup"] = round(row["xla_ms"] / row["pallas_ms"], 2)
+        sweep_rows.append(row)
+        print(json.dumps(row))
+    out["loop_sweep"] = sweep_rows
+    out["auto_policy"] = (
+        "backend='auto' selects per channel by patch-stack height M "
+        "(parallel/encode.py PALLAS_MIN_M=16384): XLA below the crossover "
+        "(Kodak M=6144: 0.88x), the fused Pallas kernel above it "
+        "(CLIC-scale M=49152: 1.06x at r=13, 1.57x at r=32). "
+        "backend='pallas'/'xla' force either path."
+    )
     path = os.path.join(os.path.dirname(__file__), "pallas_evidence.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

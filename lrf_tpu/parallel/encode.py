@@ -215,17 +215,26 @@ def _cached_sharded_encoder(
     # express without per-sweep collectives — that configuration uses the
     # XLA path, whose contractions partition automatically (psum over ICI).
     # `backend="pallas"` forces the kernel (interpret mode off-TPU, for
-    # tests); "auto" selects it on TPU data-parallel meshes.
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu" and not shard_patches
-    )
-    if use_pallas and shard_patches:
+    # tests); "auto" selects per channel by patch-stack height M, from the
+    # measured crossover (experiments/pallas_evidence.json loop_sweep,
+    # interleaved min-of-3 chained probes on the v5e): XLA wins at Kodak
+    # M=6144 (0.88x), the fused kernel wins at CLIC-scale M=49152 (1.06x at
+    # r=13, 1.57x at r=32) where the whole-sweep fusion amortizes over far
+    # more rows per HBM round trip.
+    if backend == "pallas" and shard_patches:
         raise NotImplementedError(
             "backend='pallas' supports data-parallel meshes; patch-sharded "
             "factorization uses backend='xla' (auto picks it)"
         )
+    PALLAS_MIN_M = 16384
 
     def factorize(xm, rank):
+        use_pallas = backend == "pallas" or (
+            backend == "auto"
+            and jax.default_backend() == "tpu"
+            and not shard_patches
+            and xm.shape[-2] >= PALLAS_MIN_M
+        )
         if use_pallas:
             from lrf_tpu.ops.bcd import svd_init
             from lrf_tpu.ops.bcd_pallas import bcd_pallas
