@@ -6,9 +6,10 @@ is dominated by a ~28 ms *fixed* per-batch dispatch/fetch cost on the
 tunnel-attached TPU, so the lever is amortization — more pixels per batch,
 more batches in flight — not more compression. This driver measures one
 configuration per process (piece size is baked into the traced program, and
-a fresh process keeps tunnel state clean), using the same plateau protocol
-as bench.py: run windows until the last three agree within 10%, then report
-the median of three post-plateau windows.
+a fresh process keeps tunnel state clean), using bench.py's plateau
+protocol: collect windows until a cluster of consecutive windows agrees
+within tolerance AND sits near the best observed window (so a stable
+throttled period is not mistaken for the plateau).
 
 Usage:
     python experiments/profile_amortize.py --batch 64 --depth 3 \
@@ -33,20 +34,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_plateau(run_window, tol=0.10, max_windows=16, post=3):
-    """Run windows until the last 3 agree within `tol`, then measure.
-
-    Returns (median_of_post_windows, ramp_list, post_list, plateaued).
-    """
-    ramp = []
-    for _ in range(max_windows):
-        ramp.append(run_window())
-        if len(ramp) >= 3:
-            last = ramp[-3:]
-            if (max(last) - min(last)) / np.median(last) < tol:
-                post_rates = [run_window() for _ in range(post)]
-                return float(np.median(post_rates)), ramp, post_rates, True
-    return float(np.median(ramp[-3:])), ramp, ramp[-3:], False
+# the bench's robust plateau protocol (cluster agreement + floor vs best:
+# a stable THROTTLED period must not pass as the plateau)
+from bench import measure_plateau  # noqa: E402
 
 
 def main():
@@ -106,9 +96,7 @@ def main():
             pass
         return mpix * args.iters / (time.perf_counter() - t0)
 
-    rate, ramp, post, plateaued = measure_plateau(run_window)
-    log(f"ramp windows: {[round(r, 1) for r in ramp]}")
-    log(f"post-plateau windows: {[round(r, 1) for r in post]}")
+    rate, windows, plateaued = measure_plateau(run_window, label="probe")
     print(
         json.dumps(
             {
@@ -118,8 +106,7 @@ def main():
                 "pack": args.pack,
                 "mpix_s": round(rate, 1),
                 "plateaued": plateaued,
-                "ramp": [round(r, 1) for r in ramp],
-                "post": [round(r, 1) for r in post],
+                "windows": [round(r, 1) for r in windows],
             }
         )
     )
