@@ -222,7 +222,8 @@ def main():
     # batch's array bounds all of them; a per-batch scalar probe would add
     # a serial tunnel round trip (~25 ms) per batch and understate by ~2x.
     imgs = sharded_qmf_decode_batch(streams, mesh, out="device")  # compile
-    n_dec = 6
+    n_dec = 12  # longer windows: decode periods are short, so tunnel
+    # weather dominates short windows and defeats the plateau detector
 
     def decode_window():
         t0 = time.perf_counter()

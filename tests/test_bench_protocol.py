@@ -1,0 +1,61 @@
+"""The bench's plateau detector is itself load-bearing: round 2's number
+of record was 2.5x wrong because a fixed warmup+median protocol measured a
+post-compile ramp. These tests pin the detector's contract on synthetic
+window sequences (pure function, no TPU)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+from bench import (  # noqa: E402
+    PLATEAU_CLUSTER,
+    PLATEAU_MAX_WINDOWS,
+    measure_plateau,
+)
+
+
+def run_sequence(seq):
+    it = iter(seq)
+    return measure_plateau(lambda: next(it), label="test")
+
+
+class TestPlateauProtocol:
+    def test_stable_sequence_plateaus_fast(self):
+        rate, ws, ok = run_sequence([250, 255, 252, 249, 254] + [250] * 30)
+        assert ok
+        assert len(ws) <= PLATEAU_CLUSTER + 1
+        assert 245 <= rate <= 256
+
+    def test_monotone_ramp_never_measured_early(self):
+        # round-2 failure mode: 39 -> 109 climbing windows; the old bench
+        # published the median of the ramp
+        ramp = list(np.linspace(40, 110, PLATEAU_MAX_WINDOWS)) + [110] * 10
+        rate, ws, ok = run_sequence(ramp)
+        # spread across 4 consecutive early windows exceeds 10% of their
+        # median, so the detector must ride out most of the ramp (the
+        # cluster first qualifies when its median reaches ~spread/0.1)
+        assert rate > 90, (rate, ws)
+
+    def test_throttled_stable_period_is_not_a_plateau(self):
+        # the tunnel throttles to a STABLE ~55 after a healthy ~270 period;
+        # a stable-bad cluster must not pass once a good window was seen
+        seq = [270, 268, 55, 54, 56, 55, 55, 54] + [265, 268, 262, 266] + [260] * 20
+        rate, ws, ok = run_sequence(seq)
+        assert ok
+        assert rate > 200, (rate, ws)
+
+    def test_no_plateau_reports_best_cluster(self):
+        # pure noise: never plateaus; report the best cluster median, flagged
+        rng = np.random.default_rng(3)
+        seq = list(rng.uniform(50, 400, PLATEAU_MAX_WINDOWS))
+        rate, ws, ok = run_sequence(seq)
+        assert not ok
+        meds = [
+            float(np.median(seq[i : i + PLATEAU_CLUSTER]))
+            for i in range(len(seq) - PLATEAU_CLUSTER + 1)
+        ]
+        assert rate == pytest.approx(max(meds))
+        assert len(ws) == PLATEAU_MAX_WINDOWS
