@@ -150,9 +150,11 @@ def _add_encoder_flags(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--coder",
-        choices=("zlib", "deflate"),
-        help="fiber coder backend; 'deflate' (libdeflate) is faster at "
-        "equal-or-smaller size, both emit reference-decodable zlib streams",
+        choices=("best", "zlib", "deflate"),
+        help="fiber coder backend; 'best' (default) emits the smaller of "
+        "zlib-9/libdeflate-12 per fiber, 'deflate' is the fast "
+        "throughput choice, 'zlib' is byte-identical to the reference — "
+        "all emit reference-decodable zlib streams",
     )
 
 
