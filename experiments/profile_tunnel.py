@@ -124,14 +124,17 @@ def main():
             ts.append(time.perf_counter() - t0)
         med = np.median(ts)
         mpix = batch_n * H * W / 1e6
+        pieces = out if isinstance(out, tuple) else (out,)
+        packed = sum(int(p_.size) for p_ in pieces) * 4
         log(
             f"encode B={batch_n:3d}: dispatch+device {med*1000:6.1f} ms "
-            f"({mpix/med:6.0f} Mpix/s), packed {out.size*4} B"
+            f"({mpix/med:6.0f} Mpix/s), packed {packed} B"
         )
         # fetch of the fresh output
         t0 = time.perf_counter()
-        host = to_host(out)
-        log(f"  fetch {host.nbytes} B: {(time.perf_counter()-t0)*1000:.1f} ms")
+        hosts = [to_host(p_) for p_ in pieces]
+        nbytes = sum(h.nbytes for h in hosts)
+        log(f"  fetch {nbytes} B: {(time.perf_counter()-t0)*1000:.1f} ms")
 
 
 if __name__ == "__main__":
