@@ -166,14 +166,14 @@ def main():
 
     # In-run transport A/B, both plateau-measured. The cheaper mode first
     # window also absorbs residual post-compile turbulence.
-    rate_entropy, _, ok_e = measure_plateau(
+    rate_entropy, ws_e, ok_e = measure_plateau(
         make_window("entropy"), label="encode[entropy]"
     )
-    rate_flat, _, ok_f = measure_plateau(make_window("flat"), label="encode[flat]")
+    rate_flat, ws_f, ok_f = measure_plateau(make_window("flat"), label="encode[flat]")
     if rate_entropy >= rate_flat:
-        pack_pick, mpix_s, plateaued = "entropy", rate_entropy, ok_e
+        pack_pick, mpix_s, plateaued, enc_ws = "entropy", rate_entropy, ok_e, ws_e
     else:
-        pack_pick, mpix_s, plateaued = "flat", rate_flat, ok_f
+        pack_pick, mpix_s, plateaued, enc_ws = "flat", rate_flat, ok_f, ws_f
     log(
         f"transport A/B (this run): entropy {rate_entropy:.1f} vs flat "
         f"{rate_flat:.1f} Mpixel/s -> headline uses '{pack_pick}'"
@@ -235,7 +235,7 @@ def main():
         jax.block_until_ready(last)
         return mpix * n_dec / (time.perf_counter() - t0)
 
-    dec_rate, _, dec_plateaued = measure_plateau(decode_window, label="decode")
+    dec_rate, dec_ws, dec_plateaued = measure_plateau(decode_window, label="decode")
     dec_ms = mpix / dec_rate * 1000
     log(
         f"batched decode (streams->device images): {dec_ms:.1f} ms/batch "
@@ -291,6 +291,10 @@ def main():
                 "decode_mpix_s": round(dec_rate, 2),
                 "decode_vs_baseline": round(dec_rate / BASELINE_DECODE_MPIX_S, 2),
                 "decode_plateaued": bool(dec_plateaued),
+                # the window evidence of record (non-monotone = measured
+                # past the ramp; see measure_plateau)
+                "windows": [round(x, 1) for x in enc_ws],
+                "decode_windows": [round(x, 1) for x in dec_ws],
             }
         )
     )
