@@ -35,7 +35,6 @@ except ImportError:  # pragma: no cover
 from lrf_tpu.models.container import (
     combine_bytes,
     dict_to_bytes,
-    encode_tensor,
     encode_tensor_batch,
 )
 from lrf_tpu.models.qmf import _patched_mat_size, _rank_from_quality
