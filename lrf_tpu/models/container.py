@@ -271,15 +271,13 @@ def encode_tensor(tensor: np.ndarray, coder=None) -> bytes:
     raw = np.ascontiguousarray(tensor)
     payload = None
     if backend in ("deflate", "best"):
+        # "best" already races zlib-9 against libdeflate-12 inside
+        # _compress_fibers; no host-side re-race needed.
         blobs = _compress_fibers(raw.reshape(1, -1), "row", level, backend)
         if blobs is not None:
             payload = blobs[0]
     if payload is None:
         payload = zlib.compress(raw.tobytes(), level if backend == "zlib" else 9)
-    elif backend == "best":
-        z = zlib.compress(raw.tobytes(), 9)
-        if len(z) < len(payload):
-            payload = z
     metadata = {"shape": list(tensor.shape), "dtype": tensor.dtype.name}
     return combine_bytes([dict_to_bytes(metadata), payload])
 

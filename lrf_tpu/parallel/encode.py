@@ -19,6 +19,8 @@ tiny) and framed with the byte-exact container.
 from __future__ import annotations
 
 import functools
+import logging
+import os
 from functools import lru_cache
 from typing import Iterable, Optional
 
@@ -52,15 +54,22 @@ __all__ = [
 ]
 
 
-import os as _os
+def _env_int(name: str, default: int) -> int:
+    """Integer env override; malformed values fall back to the default."""
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        logging.getLogger("lrf_tpu.parallel").warning(
+            "ignoring malformed %s=%r", name, os.environ.get(name)
+        )
+        return default
+
 
 # 256 KiB of uint32 per output piece by default. The axon tunnel hangs on
 # single D2H transfers over ~1 MiB, and per-piece round-trip overhead favors
 # fewer, larger pieces — overridable for transport sweeps
 # (experiments/profile_amortize.py).
-_FETCH_CHUNK_WORDS = int(
-    _os.environ.get("LRF_TPU_FETCH_CHUNK_WORDS", str(64 * 1024))
-)
+_FETCH_CHUNK_WORDS = _env_int("LRF_TPU_FETCH_CHUNK_WORDS", 64 * 1024)
 
 
 class EntropyOverflowError(Exception):
@@ -88,13 +97,11 @@ ENTROPY_STATS = {"batches": 0, "fallbacks": 0, "max_rows": 0, "budget_bumps": 0}
 # have fallen back every batch.
 _EXC_ROWS_HINT: dict = {}
 
-_logger = __import__("logging").getLogger("lrf_tpu.parallel")
+_logger = logging.getLogger("lrf_tpu.parallel")
 
 
 def _observe_entropy_rows(pack_spec, n_rows: int, overflowed: bool) -> None:
     """Update transport stats + adaptive budget hints after a batch fetch."""
-    from lrf_tpu.ops import entropy as _entropy
-
     ENTROPY_STATS["batches"] += 1
     ENTROPY_STATS["max_rows"] = max(ENTROPY_STATS["max_rows"], n_rows)
     budget = pack_spec["exc_budget"]
@@ -459,8 +466,17 @@ def sharded_qmf_encode_batch(
 ) -> list[bytes]:
     """Encode a `(B, 3, H, W)` uint8 batch into per-image QMF byte streams.
 
-    Streams are identical to what per-image `qmf_encode` produces (and thus
-    decode with the reference decoder). Batch order is preserved.
+    Contract (pinned by tests/test_parallel.py): below the Pallas auto
+    crossover (patch stacks with M < PALLAS_MIN_M, e.g. Kodak-size images)
+    streams are byte-identical to per-image `qmf_encode`. At CLIC-scale
+    shapes where ``backend="auto"`` selects the fused Pallas BCD kernel on
+    TPU, factors may differ from the XLA path's at a small fraction of
+    entries (both satisfy the same projected-BCD fixed-point conditions),
+    so streams there are *equivalent-quality and reference-decodable*
+    (|ΔPSNR| and payload ratio bounded by the tests) rather than
+    byte-identical. Pass ``backend="xla"`` for byte-identity at any shape.
+    Batch order is preserved; all streams decode with the reference decoder
+    (`lrf/compression/qmf.py:288-295` container semantics).
     """
     b = int(images.shape[0])
     size = (int(images.shape[-2]), int(images.shape[-1]))
@@ -609,6 +625,7 @@ def _warm_flat_fallback(mesh, images, quality, rank, config):
     size = (int(images.shape[-2]), int(images.shape[-1]))
     key = (
         mesh, size, b, str(quality), str(rank),
+        str(images.dtype), str(getattr(images, "sharding", None)),
         tuple(sorted((k, str(v)) for k, v in config.items())),
     )
     cached = _FLAT_WARM.get(key)
@@ -661,7 +678,7 @@ def sharded_qmf_encode_batches(
     # bound rather than fetch + exposed compute. Default 2; overridable per
     # call or via LRF_TPU_PIPELINE_DEPTH for transport sweeps.
     if depth is None:
-        depth = int(_os.environ.get("LRF_TPU_PIPELINE_DEPTH", "2"))
+        depth = _env_int("LRF_TPU_PIPELINE_DEPTH", 2)
 
     # 2 serializer workers: the deflate / entropy-decode tail runs in
     # GIL-released C++, and at entropy-transport rates one worker's tail
@@ -691,7 +708,13 @@ def sharded_qmf_encode_batches(
                         pool.submit(_serialize_batch, host_f, spec_f, md_f, flight[3])
                     )
                 except Exception:
-                    # ultimate fallback: the one-shot API (may compile)
+                    # ultimate fallback: the one-shot API (may compile).
+                    # Logged loudly — a failure here usually means a genuine
+                    # device error or a stale AOT executable, not overflow.
+                    _logger.warning(
+                        "AOT flat-fallback failed; re-encoding via the "
+                        "one-shot API (may compile)", exc_info=True,
+                    )
                     redo = sharded_qmf_encode_batch(
                         flight[4], mesh, quality=quality, rank=rank,
                         **{**config, "pack": "flat"},
@@ -702,7 +725,7 @@ def sharded_qmf_encode_batches(
                 pool.submit(_serialize_batch, host_out, *flight[1:4])
             )
 
-        warm_flat = _os.environ.get("LRF_TPU_FLAT_WARM", "1") != "0"
+        warm_flat = os.environ.get("LRF_TPU_FLAT_WARM", "1") != "0"
         for images in batches:
             b = int(images.shape[0])
             size = (int(images.shape[-2]), int(images.shape[-1]))
