@@ -195,6 +195,38 @@ class TestShardedEncode:
         assert stats["batches"] == 5
         assert stats["fallbacks"] <= 3
 
+    def test_pallas_contract_at_clic_scale(self, ref_lrf, kodim01):
+        # Pins the documented contract of `sharded_qmf_encode_batch` at
+        # shapes where backend="auto" would pick the fused Pallas kernel on
+        # TPU (Y patch stacks M >= PALLAS_MIN_M=16384): Pallas-path streams
+        # may differ from XLA-path streams at a small fraction of factor
+        # entries (at M=16384 the X^T U sums exceed f32's exact-integer
+        # range, so accumulation order legitimately flips round() ties and
+        # the two paths converge to different valid fixed points), but both
+        # must (a) decode bit-exactly under the REFERENCE decoder, (b)
+        # agree in quality within 0.2 dB (measured: <= 0.07 dB), and (c)
+        # agree in payload within 7% (measured: Pallas 3.1-5.5% larger at
+        # iters in {2, 10}). CPU CI runs the kernel in interpret mode.
+        from lrf_tpu.utils.metrics import psnr
+
+        # 1024x1024 image -> Y patch stack (16384, 64), above the crossover
+        img = np.tile(kodim01, (1, 2, 2))[:, :1024, :1024]
+        images = np.stack([img, np.roll(img, 11, axis=2)])
+        assert (1024 * 1024) // 64 >= 16384
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        kw = dict(quality=10, num_iters=2)
+        xla = sharded_qmf_encode_batch(images, mesh, backend="xla", **kw)
+        pallas = sharded_qmf_encode_batch(images, mesh, backend="pallas", **kw)
+        for ours, theirs in zip(pallas, xla):
+            assert abs(len(ours) - len(theirs)) <= 0.07 * len(theirs)
+        for i in range(len(images)):
+            for stream in (pallas[i], xla[i]):
+                ref_dec = ref_lrf.qmf_decode(stream).numpy()
+                assert np.array_equal(ref_dec, np.asarray(qmf_decode(stream)))
+            p_x = float(psnr(images[i], qmf_decode(xla[i])))
+            p_p = float(psnr(images[i], qmf_decode(pallas[i])))
+            assert abs(p_x - p_p) < 0.2, (i, p_x, p_p)
+
     def test_pipelined_batches_identical_streams(self, batch):
         # The overlapped generator must produce byte-identical streams, in
         # order, including across batches of different image sizes.
