@@ -1,4 +1,4 @@
-"""Benchmark: batched QMF encode throughput on one TPU chip.
+"""Benchmark: batched QMF encode/decode throughput on one TPU chip.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mpixel/s", "vs_baseline": N, ...}
@@ -13,15 +13,34 @@ batch is reported separately on stderr (this environment's TPU is behind a
 network tunnel, so H2D bandwidth is an artifact of the harness, not the
 codec; on local PCIe it is negligible).
 
-Measurement protocol (round-2 lesson: the tunnel throttles on a seconds
-timescale AND ramps after compile, so a fixed warmup+median published a
-2.5x-wrong number): windows are collected until `PLATEAU_CLUSTER`
-consecutive windows agree within `PLATEAU_TOL` AND their median is at least
-`PLATEAU_FLOOR` of the best window seen — a stable *throttled* period does
-not pass as a plateau. The full window list is printed as evidence. The
-encode headline is the winner of an in-run flat-vs-entropy transport A/B
-(both plateau-measured, both stderr-logged), so the transport choice cites
-this run's measurement, not a stale artifact.
+Measurement protocol (round-2/3 lessons):
+
+- *Plateau*: the tunnel throttles on a seconds timescale AND ramps after
+  compile, so a fixed warmup+median published a 2.5x-wrong number. Windows
+  are collected until `PLATEAU_CLUSTER` consecutive windows agree within
+  `PLATEAU_TOL` AND their median is at least `PLATEAU_FLOOR` of the best
+  window seen. The full window list is printed as evidence.
+- *Weather guard* (round-3 lesson: a uniformly-throttled run self-certifies
+  its plateau — delivered encode swung 206-355 Mpixel/s run-to-run with
+  identical device-only rate): every run probes the tunnel's D2H/H2D
+  ceilings in-run (same async-chunked pattern as the transport) and the
+  record carries the achieved-vs-probed ratio. A run whose transport
+  achieves < `WEATHER_FLOOR` of its own probe is flagged
+  `weather_limited` and the supervisor retries it like a non-plateau.
+- *Stable decomposition*: the JSON record carries the weather-independent
+  quantities — device-only Mpixel/s, wire MB/batch, achieved and probed
+  tunnel MB/s — alongside the delivered headline, so the reader can
+  separate codec speed from tunnel weather.
+- *Agreement*: the supervisor runs attempts until two consecutive ones
+  agree within `AGREE_TOL` on delivered Mpixel/s (all retry conditions
+  clear); the record says whether that confirmation happened
+  (`confirmed`) and lists every attempt's value (`attempts`).
+
+The encode headline is the winner of an in-run flat-vs-entropy transport
+A/B (both plateau-measured, both stderr-logged), so the transport choice
+cites this run's measurement, not a stale artifact. Decode windows cycle
+through DISTINCT stream batches (different image contents) so allocator/
+page-cache warmth and a single batch composition can't flatter the number.
 """
 
 import json
@@ -40,13 +59,15 @@ PLATEAU_TOL = 0.10  # cluster spread tolerance (fraction of cluster median)
 PLATEAU_FLOOR = 0.80  # cluster median must reach this fraction of the best
 PLATEAU_CLUSTER = 4
 PLATEAU_MAX_WINDOWS = 24
+WEATHER_FLOOR = 0.60  # achieved/probed tunnel ratio below this = bad weather
+AGREE_TOL = 0.15  # consecutive-attempt agreement band (supervisor)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_plateau(run_window, label=""):
+def measure_plateau(run_window, label="", max_windows=PLATEAU_MAX_WINDOWS):
     """Collect windows until a genuine plateau (see module docstring).
 
     Returns (rate, windows, plateaued). On no plateau within the cap,
@@ -54,7 +75,7 @@ def measure_plateau(run_window, label=""):
     """
     ws = []
     best = 0.0
-    while len(ws) < PLATEAU_MAX_WINDOWS:
+    while len(ws) < max_windows:
         w = run_window()
         ws.append(w)
         best = max(best, w)
@@ -97,6 +118,48 @@ def load_batch():
     return batch
 
 
+def probe_tunnel(jax, jnp, rounds=3):
+    """In-run tunnel ceiling probe: (d2h_mb_s, h2d_mb_s).
+
+    D2H uses the transport's own pattern — async-chunked 256 KiB slices of a
+    fresh device buffer (`copy_to_host_async` then materialize); H2D is a
+    plain `device_put` of a host buffer the size of a decode upload. Best of
+    `rounds` is the per-run ceiling (the guard compares achieved rates
+    against the best the tunnel showed THIS run).
+    """
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def gen(seed, n):
+        return jax.random.randint(
+            jax.random.PRNGKey(seed), (n,), 0, 255, jnp.uint32
+        )
+
+    mb = 3
+    n = mb * 1024 * 256  # uint32 words
+    chunk = 256 * 1024 // 4
+    gen(0, n).block_until_ready()  # compile once
+    d2h = 0.0
+    for i in range(rounds):
+        big = gen(100 + i, n)
+        slices = [big[j : j + chunk] for j in range(0, n, chunk)]
+        jax.block_until_ready(slices)
+        t0 = time.perf_counter()
+        for s in slices:
+            s.copy_to_host_async()
+        _ = [np.asarray(s) for s in slices]
+        d2h = max(d2h, mb / (time.perf_counter() - t0))
+    host = np.random.default_rng(0).integers(0, 255, n, dtype=np.uint32)
+    h2d = 0.0
+    for i in range(rounds):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(host))
+        h2d = max(h2d, mb / (time.perf_counter() - t0))
+        host = np.roll(host, 1)  # dodge any caching of the exact buffer
+    log(f"tunnel probe: D2H {d2h:.1f} MB/s, H2D {h2d:.1f} MB/s (best of {rounds})")
+    return d2h, h2d
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -137,6 +200,8 @@ def main():
     jax.block_until_ready(device_batch)
     upload_s = time.perf_counter() - t0
     log(f"one-time H2D upload: {upload_s:.2f}s ({batch.nbytes/1e6:.0f} MB over tunnel)")
+
+    d2h_probe, h2d_probe = probe_tunnel(jax, jnp)
 
     iters = 4  # batches per measurement window
 
@@ -184,6 +249,7 @@ def main():
     # and batched on-device decode, both synced via a scalar probe so the
     # tunnel's bulk-transfer weather stays out of the measurement.
     from lrf_tpu.parallel.decode import (
+        _inflate_streams,
         sharded_qmf_decode_batch,
         sharded_qmf_decode_batches,
     )
@@ -217,33 +283,7 @@ def main():
     dev_mpix_s = mpix / dev_ms * 1000
     log(f"device-only encode: {dev_ms:.1f} ms/batch ({dev_mpix_s:.0f} Mpixel/s)")
 
-    # Decode: streams -> device-resident images, plateau protocol. One
-    # device queue executes batches in order, so blocking on the last
-    # batch's array bounds all of them; a per-batch scalar probe would add
-    # a serial tunnel round trip (~25 ms) per batch and understate by ~2x.
-    imgs = sharded_qmf_decode_batch(streams, mesh, out="device")  # compile
-    n_dec = 12  # longer windows: decode periods are short, so tunnel
-    # weather dominates short windows and defeats the plateau detector
-
-    def decode_window():
-        t0 = time.perf_counter()
-        last = None
-        for last in sharded_qmf_decode_batches(
-            [streams] * n_dec, mesh, out="device"
-        ):
-            pass
-        jax.block_until_ready(last)
-        return mpix * n_dec / (time.perf_counter() - t0)
-
-    dec_rate, dec_ws, dec_plateaued = measure_plateau(decode_window, label="decode")
-    dec_ms = mpix / dec_rate * 1000
-    log(
-        f"batched decode (streams->device images): {dec_ms:.1f} ms/batch "
-        f"({dec_rate:.0f} Mpixel/s)"
-    )
-
-    # ---- speed-of-light / transport accounting (see experiments/roofline.py
-    # for the full arithmetic; these are the per-run achieved numbers)
+    # ---- encode transport accounting + weather guard
     payload = sum(map(len, streams))
     from lrf_tpu.ops.entropy import ROW_WORDS
 
@@ -258,12 +298,99 @@ def main():
     flat_wire = -(-n_values // 6) * 4  # 5-bit pack: 6 values/word
     wire = ent_wire if pack_pick == "entropy" else flat_wire
     period_ms = mpix / mpix_s * 1000
+    achieved_d2h = wire / 1e6 / period_ms * 1000
+    weather_limited = bool(achieved_d2h < WEATHER_FLOOR * d2h_probe)
     log(
         "transport accounting: wire "
         f"{wire/1e6:.2f} MB/batch ({pack_pick}; flat {flat_wire/1e6:.2f}, "
         f"entropy {ent_wire/1e6:.2f}), period {period_ms:.1f} ms -> achieved "
-        f"D2H {wire/1e6/period_ms*1000:.0f} MB/s; device-only compute "
-        f"{dev_ms:.1f} ms/batch; serialized payload {payload/1e6:.2f} MB/batch"
+        f"D2H {achieved_d2h:.1f} MB/s vs probe {d2h_probe:.1f} "
+        f"({achieved_d2h/max(d2h_probe,1e-9):.0%}; weather_limited="
+        f"{weather_limited}); device-only compute {dev_ms:.1f} ms/batch; "
+        f"serialized payload {payload/1e6:.2f} MB/batch"
+    )
+
+    # ---- decode: DISTINCT stream batches (different image content), plateau
+    # protocol. One device queue executes batches in order, so blocking on
+    # the last batch's array bounds all of them; a per-batch scalar probe
+    # would add a serial tunnel round trip (~25 ms) per batch and understate
+    # by ~2x.
+    device_batch2 = jnp.roll(device_batch, W // 3, axis=-1)
+    streams2 = sharded_qmf_encode_batch(
+        device_batch2, mesh, quality=QUALITY, pack=pack_pick
+    )
+    imgs = sharded_qmf_decode_batch(streams, mesh, out="device")  # compile
+    n_dec = 16  # longer windows: decode periods are short, so tunnel
+    # weather dominates short windows and defeats the plateau detector
+    dec_inputs = [streams, streams2] * (n_dec // 2)
+
+    def decode_window():
+        t0 = time.perf_counter()
+        last = None
+        for last in sharded_qmf_decode_batches(dec_inputs, mesh, out="device"):
+            pass
+        jax.block_until_ready(last)
+        return mpix * n_dec / (time.perf_counter() - t0)
+
+    dec_rate, dec_ws, dec_plateaued = measure_plateau(decode_window, label="decode")
+    dec_ms = mpix / dec_rate * 1000
+    log(
+        f"batched decode (streams->device images): {dec_ms:.1f} ms/batch "
+        f"({dec_rate:.0f} Mpixel/s)"
+    )
+
+    # ---- decode attribution: host inflate / packed H2D wire / device
+    # reconstruction (the round-3 verdict: decode had no speed-of-light
+    # accounting). Host inflate: the native-zlib + container-parse stage in
+    # isolation. Wire: the bit-packed upload bytes. Device: the
+    # reconstruction program with chained dispatch (scalar-probe synced).
+    t_inf = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        inflated = _inflate_streams(streams)
+        t_inf = min(t_inf, time.perf_counter() - t0)
+    dec_wire = inflated[0].nbytes
+    achieved_h2d = dec_wire / 1e6 / dec_ms * 1000
+    dec_weather_limited = bool(achieved_h2d < WEATHER_FLOOR * h2d_probe)
+
+    from lrf_tpu.parallel.decode import _cached_sharded_decoder
+
+    md = inflated[1]
+    dec_fn = _cached_sharded_decoder(
+        mesh,
+        tuple(tuple(s) for s in md["original size"]),
+        tuple(tuple(s) for s in md["padded size"]),
+        tuple(md["patch size"]),
+        inflated[2],
+        inflated[3],
+        md["dtype"],
+        inflated[4],
+    )
+    dev_flat = jax.device_put(jnp.asarray(inflated[0]), sharding)
+    jax.block_until_ready(dev_flat)
+
+    @jax.jit
+    def dec_probe(x):
+        def body(i, acc):
+            y = dec_fn(jnp.roll(x, i, axis=-1))
+            return acc + jnp.sum(y.astype(jnp.uint32) & jnp.uint32(1))
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+    float(dec_probe(dev_flat))
+    dec_dev_ms = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(dec_probe(dev_flat))
+        dec_dev_ms = min(dec_dev_ms, (time.perf_counter() - t0) / reps * 1000)
+    log(
+        f"decode attribution: period {dec_ms:.1f} ms/batch = host inflate "
+        f"{t_inf*1000:.1f} ms (worker thread, overlapped) | packed H2D wire "
+        f"{dec_wire/1e6:.2f} MB -> achieved {achieved_h2d:.1f} MB/s vs probe "
+        f"{h2d_probe:.1f} ({achieved_h2d/max(h2d_probe,1e-9):.0%}; "
+        f"weather_limited={dec_weather_limited}) | device reconstruction "
+        f"{dec_dev_ms:.1f} ms/batch ({mpix/dec_dev_ms*1000:.0f} Mpixel/s "
+        f"device-only)"
     )
 
     bpp = bits_per_pixel((H, W), streams[0])
@@ -285,12 +412,23 @@ def main():
                 "transport": pack_pick,
                 "ab_entropy": round(rate_entropy, 1),
                 "ab_flat": round(rate_flat, 1),
+                # ---- the stable decomposition (weather-independent record)
                 "device_only_mpix_s": round(dev_mpix_s, 1),
+                "wire_mb_per_batch": round(wire / 1e6, 3),
+                "achieved_d2h_mb_s": round(achieved_d2h, 1),
+                "tunnel_d2h_probe_mb_s": round(d2h_probe, 1),
+                "weather_limited": weather_limited,
                 # decode is regression-tracked here too: streams -> device-
                 # resident images, batched (reference CPU node: ~148 Mpix/s)
                 "decode_mpix_s": round(dec_rate, 2),
                 "decode_vs_baseline": round(dec_rate / BASELINE_DECODE_MPIX_S, 2),
                 "decode_plateaued": bool(dec_plateaued),
+                "decode_device_only_mpix_s": round(mpix / dec_dev_ms * 1000, 1),
+                "decode_inflate_ms": round(t_inf * 1000, 1),
+                "decode_wire_mb_per_batch": round(dec_wire / 1e6, 3),
+                "decode_achieved_h2d_mb_s": round(achieved_h2d, 1),
+                "tunnel_h2d_probe_mb_s": round(h2d_probe, 1),
+                "decode_weather_limited": dec_weather_limited,
                 # the window evidence of record (non-monotone = measured
                 # past the ramp; see measure_plateau)
                 "windows": [round(x, 1) for x in enc_ws],
@@ -300,13 +438,60 @@ def main():
     )
 
 
-def supervise(retries: int = 3, timeout_s: int = 1800) -> int:
-    """Run the measurement in a killable child, retrying on tunnel hangs.
+def _attempt_clean(r: dict) -> bool:
+    """No retry condition fired for this attempt's record."""
+    return bool(
+        r.get("plateaued")
+        and r.get("decode_plateaued")
+        and not r.get("weather_limited")
+        and not r.get("decode_weather_limited")
+    )
+
+
+def _confirmed_record(results: list) -> dict | None:
+    """The record of record, if the last two attempts confirm each other.
+
+    Two consecutive CLEAN attempts agreeing within AGREE_TOL on delivered
+    Mpixel/s confirm the measurement; the better of the pair is published
+    with `confirmed: true` and the full attempt history.
+    """
+    if len(results) < 2:
+        return None
+    a, b = results[-2], results[-1]
+    agree = abs(a["value"] - b["value"]) <= AGREE_TOL * max(a["value"], b["value"])
+    if not (agree and _attempt_clean(a) and _attempt_clean(b)):
+        return None
+    best = dict(a if a["value"] >= b["value"] else b)
+    best["confirmed"] = True
+    best["attempts"] = [r["value"] for r in results]
+    return best
+
+
+def _fallback_record(results: list) -> dict:
+    """No agreeing clean pair within the budget: the best clean attempt
+    (or the best overall), flagged unconfirmed."""
+    clean = [r for r in results if _attempt_clean(r)]
+    pool = clean or results
+    best = dict(max(pool, key=lambda r: r.get("value", 0)))
+    best["confirmed"] = False
+    best["attempts"] = [r["value"] for r in results]
+    return best
+
+
+def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
+    """Run the measurement in a killable child, retrying on tunnel hangs,
+    missing plateaus, and bad tunnel weather; confirm by agreement.
 
     The tunnel-attached TPU in this environment occasionally deadlocks a
     single compile/execute/transfer; a fresh process (with the persistent
     compile cache already populated by the previous attempt's progress)
-    almost always succeeds. The child's final JSON line is echoed as ours.
+    almost always succeeds. Attempts continue until two consecutive CLEAN
+    attempts (encode+decode plateaued, neither weather-limited) agree
+    within AGREE_TOL on delivered Mpixel/s; the published record is the
+    better of the agreeing pair with `confirmed: true` and every attempt's
+    value in `attempts`. If no pair agrees within the retry budget, the
+    best attempt is published with `confirmed: false` (and its own flags
+    saying why).
     """
     import subprocess
 
@@ -315,7 +500,7 @@ def supervise(retries: int = 3, timeout_s: int = 1800) -> int:
     # throughput of one big synchronous fetch on the tunnel transport
     # (lrf_tpu/utils/transfer.py).
     env.setdefault("LRF_TPU_FETCH_CHUNK", str(256 * 1024))
-    best = None  # best successful result dict across attempts
+    results = []  # every successful attempt's record, in order
     for attempt in range(retries):
         try:
             proc = subprocess.run(
@@ -332,28 +517,38 @@ def supervise(retries: int = 3, timeout_s: int = 1800) -> int:
             continue
         sys.stderr.write(proc.stderr)
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if proc.returncode == 0 and lines:
-            try:
-                result = json.loads(lines[-1])
-            except json.JSONDecodeError:
-                log(f"bench attempt {attempt + 1} emitted unparsable JSON")
-                continue
-            if best is None or result.get("value", 0) > best.get("value", 0):
-                best = result
-            if best.get("plateaued"):
-                # a plateaued headline is the number of record; stop here
-                print(json.dumps(best))
-                return 0
-            log(
-                f"bench attempt {attempt + 1} did not plateau "
-                f"({result.get('value')}); retrying for a plateaued number"
-            )
+        if proc.returncode != 0 or not lines:
+            log(f"bench attempt {attempt + 1} failed rc={proc.returncode}")
             continue
-        log(f"bench attempt {attempt + 1} failed rc={proc.returncode}")
-    if best is not None:
-        # every attempt was weather-limited: publish the best, still
-        # carrying plateaued=false so the record says so
-        print(json.dumps(best))
+        try:
+            result = json.loads(lines[-1])
+        except json.JSONDecodeError:
+            log(f"bench attempt {attempt + 1} emitted unparsable JSON")
+            continue
+        results.append(result)
+        confirmed = _confirmed_record(results)
+        if confirmed is not None:
+            print(json.dumps(confirmed))
+            return 0
+        why = []
+        if not _attempt_clean(result):
+            for k in (
+                "plateaued",
+                "decode_plateaued",
+            ):
+                if not result.get(k):
+                    why.append(f"{k}=false")
+            for k in ("weather_limited", "decode_weather_limited"):
+                if result.get(k):
+                    why.append(f"{k}=true")
+        if len(results) < 2:
+            why.append("needs a consecutive agreeing attempt")
+        log(
+            f"bench attempt {attempt + 1}: {result.get('value')} Mpixel/s "
+            f"({'; '.join(why) or 'awaiting agreement'}); retrying"
+        )
+    if results:
+        print(json.dumps(_fallback_record(results)))
         return 0
     log("all bench attempts failed")
     return 1

@@ -13,6 +13,9 @@ sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
 from bench import (  # noqa: E402
     PLATEAU_CLUSTER,
     PLATEAU_MAX_WINDOWS,
+    _attempt_clean,
+    _confirmed_record,
+    _fallback_record,
     measure_plateau,
 )
 
@@ -59,3 +62,66 @@ class TestPlateauProtocol:
         ]
         assert rate == pytest.approx(max(meds))
         assert len(ws) == PLATEAU_MAX_WINDOWS
+
+
+def _rec(value, **flags):
+    base = dict(
+        value=value,
+        plateaued=True,
+        decode_plateaued=True,
+        weather_limited=False,
+        decode_weather_limited=False,
+    )
+    base.update(flags)
+    return base
+
+
+class TestSupervisorAgreement:
+    """Round-3 lesson: the delivered headline swung 206->355 Mpixel/s
+    run-to-run with `plateaued: true` on both. The supervisor now requires
+    two consecutive clean attempts agreeing within 15%, and retries
+    weather-limited or non-plateaued attempts like failures."""
+
+    def test_clean_requires_both_plateaus_and_fair_weather(self):
+        assert _attempt_clean(_rec(300))
+        assert not _attempt_clean(_rec(300, plateaued=False))
+        assert not _attempt_clean(_rec(300, decode_plateaued=False))
+        assert not _attempt_clean(_rec(300, weather_limited=True))
+        assert not _attempt_clean(_rec(300, decode_weather_limited=True))
+
+    def test_agreeing_clean_pair_confirms_better_value(self):
+        out = _confirmed_record([_rec(330), _rec(350)])
+        assert out is not None and out["confirmed"]
+        assert out["value"] == 350
+        assert out["attempts"] == [330, 350]
+
+    def test_disagreeing_pair_does_not_confirm(self):
+        # 206 vs 355: the round-3 swing must NOT self-certify
+        assert _confirmed_record([_rec(206), _rec(355)]) is None
+
+    def test_weather_limited_attempt_blocks_confirmation(self):
+        assert (
+            _confirmed_record([_rec(330, weather_limited=True), _rec(340)])
+            is None
+        )
+
+    def test_only_last_two_attempts_must_agree(self):
+        # a bad first attempt followed by an agreeing clean pair confirms
+        out = _confirmed_record([_rec(206), _rec(340), _rec(350)])
+        assert out is not None and out["confirmed"]
+        assert out["attempts"] == [206, 340, 350]
+
+    def test_fallback_prefers_clean_attempts(self):
+        out = _fallback_record(
+            [_rec(400, weather_limited=True), _rec(300), _rec(250)]
+        )
+        assert not out["confirmed"]
+        # the weather-limited 400 loses to the best clean attempt
+        assert out["value"] == 300
+        assert out["attempts"] == [400, 300, 250]
+
+    def test_fallback_with_no_clean_attempt_takes_best(self):
+        out = _fallback_record(
+            [_rec(220, plateaued=False), _rec(260, decode_plateaued=False)]
+        )
+        assert not out["confirmed"] and out["value"] == 260
