@@ -88,40 +88,75 @@ class EntropyOverflowError(Exception):
 
 # Entropy-transport health counters (observability for the rare fallback:
 # a poisoned dataset region silently halving throughput was round-2 Weak #7).
-ENTROPY_STATS = {"batches": 0, "fallbacks": 0, "max_rows": 0, "budget_bumps": 0}
+ENTROPY_STATS = {
+    "batches": 0,
+    "fallbacks": 0,
+    "max_rows": 0,
+    "budget_bumps": 0,
+    "budget_shrinks": 0,
+}
 
-# Adaptive continuation-row budgets, keyed by the factor-shape tuple: grown
-# from observed usage (overflow, or >95% of budget) so subsequent program
-# builds get headroom. Growing changes the traced program (one recompile),
-# after which the entropy path keeps working on data that would previously
-# have fallen back every batch.
+# Adaptive continuation-row budgets, keyed by the factor-shape tuple. The
+# whole budget transfers every batch (the transport is one eagerly-fetched
+# buffer), so it is sized to OBSERVED usage in both directions: grown on
+# overflow / near-budget batches (headroom, so the entropy path keeps
+# working on data the static default undershoots), and SHRUNK to a rolling
+# p99 of observed rows once enough history exists (the round-3 default
+# shipped ~15% dead wire against typical ~0.6-0.85 rows/chunk usage).
+# Either change retraces the program once (persistent-cache-compiled);
+# shrink targets are quantized so jitter never causes recompile churn, and
+# the flat fallback covers any batch an aggressive shrink underestimates.
 _EXC_ROWS_HINT: dict = {}
+_EXC_ROWS_OBS: dict = {}  # shapes-key -> deque of recent observed row counts
+_SHRINK_MIN_OBS = 8  # observations before the first shrink
+_SHRINK_MARGIN = 1.08  # budget = p99 * margin + 256, rounded up to 1 KiRow
 
 _logger = logging.getLogger("lrf_tpu.parallel")
 
 
 def _observe_entropy_rows(pack_spec, n_rows: int, overflowed: bool) -> None:
     """Update transport stats + adaptive budget hints after a batch fetch."""
+    from collections import deque
+
     ENTROPY_STATS["batches"] += 1
     ENTROPY_STATS["max_rows"] = max(ENTROPY_STATS["max_rows"], n_rows)
     budget = pack_spec["exc_budget"]
     key = pack_spec["shapes"]
+    hist = _EXC_ROWS_OBS.setdefault(key, deque(maxlen=64))
+    hist.append(n_rows)
     if overflowed:
         ENTROPY_STATS["fallbacks"] += 1
         want = n_rows + (n_rows >> 2) + 64
     elif n_rows * 20 > budget * 19:  # within 5% of the budget
         want = budget + (budget >> 2)
     else:
+        want = None
+    if want is not None:
+        if want > _EXC_ROWS_HINT.get(key, 0):
+            _EXC_ROWS_HINT[key] = want
+            ENTROPY_STATS["budget_bumps"] += 1
+            _logger.warning(
+                "entropy transport %s: %d continuation rows vs budget %d; "
+                "next build uses %d (fallbacks so far: %d)",
+                "overflow" if overflowed else "near-budget",
+                n_rows, budget, want, ENTROPY_STATS["fallbacks"],
+            )
         return
-    if want > _EXC_ROWS_HINT.get(key, 0):
-        _EXC_ROWS_HINT[key] = want
-        ENTROPY_STATS["budget_bumps"] += 1
-        _logger.warning(
-            "entropy transport %s: %d continuation rows vs budget %d; "
-            "next build uses %d (fallbacks so far: %d)",
-            "overflow" if overflowed else "near-budget",
-            n_rows, budget, want, ENTROPY_STATS["fallbacks"],
-        )
+    # Shrink toward observed usage: the whole budget is wire every batch.
+    # Quantized up to 1024 rows so per-batch jitter can't churn recompiles;
+    # only adopted when it saves >= 10% of the current budget.
+    if len(hist) >= _SHRINK_MIN_OBS:
+        p99 = float(np.quantile(np.asarray(hist), 0.99))
+        target = int(p99 * _SHRINK_MARGIN) + 256
+        target = -(-target // 1024) * 1024
+        if target * 10 <= budget * 9 and _EXC_ROWS_HINT.get(key) != target:
+            _EXC_ROWS_HINT[key] = target
+            ENTROPY_STATS["budget_shrinks"] += 1
+            _logger.info(
+                "entropy transport: shrinking continuation-row budget "
+                "%d -> %d (p99 of %d observed batches: %.0f rows)",
+                budget, target, len(hist), p99,
+            )
 
 
 def _split_pieces(flat, piece_words: int):
@@ -271,15 +306,39 @@ def _cached_sharded_encoder(
         """images: (B, 3, H, W) sharded over 'data' on B."""
         ycbcr = rgb_to_ycbcr(images.astype(jnp.float32))
         channels = chroma_downsample(ycbcr, scale_factor)
-        factors = []
-        for channel, rank in zip(channels, ranks):
+        stacks = []
+        for channel in channels:
             x = pad_image(channel, patch_size)
             xm = patchify(x, patch_size)  # (B, M, N)
             if shard_patches:
                 xm = jax.lax.with_sharding_constraint(
                     xm, NamedSharding(mesh, P("data", "patch", None))
                 )
-            u, v = factorize(xm, rank)
+            stacks.append(xm)
+        # Cb and Cr share shape and rank at every canonical config: fold
+        # them into ONE batched factorize call. The TPU executes a
+        # program's ops sequentially, so the 10 x 2 x R Gauss-Seidel chain
+        # runs once over a 2B batch instead of twice over B — ~25% fewer
+        # serialized steps for the whole encode (round-3 roofline: the
+        # device rate is latency-bound on exactly those chains). Per-image
+        # math is unchanged (batching is data-parallel in every op).
+        if stacks[1].shape == stacks[2].shape and ranks[1] == ranks[2]:
+            u_y, v_y = factorize(stacks[0], ranks[0])
+            u_c, v_c = factorize(
+                jnp.concatenate([stacks[1], stacks[2]], axis=0), ranks[1]
+            )
+            b = stacks[1].shape[0]
+            per_channel = [
+                (u_y, v_y),
+                (u_c[:b], v_c[:b]),
+                (u_c[b:], v_c[b:]),
+            ]
+        else:
+            per_channel = [
+                factorize(xm, rank) for xm, rank in zip(stacks, ranks)
+            ]
+        factors = []
+        for u, v in per_channel:
             factors.append(u.astype(dtype))
             factors.append(v.astype(dtype))
         if pack == "entropy":
