@@ -202,9 +202,11 @@ def main() -> None:
     sweep_rows = []
     for cb, cm, cn, cr in [
         (24, 6144, 64, 6),    # bench shape, Kodak q=10
+        (24, 6144, 64, 13),   # Kodak q~20 (rank-crossover probe)
         (24, 6144, 64, 26),   # Kodak q=40 (high rank)
-        (4, 49152, 64, 13),   # CLIC-scale M, q~20
-        (4, 49152, 64, 32),   # CLIC-scale M, high rank
+        (24, 1536, 64, 3),    # chroma stacks (X-resident path)
+        (4, 49152, 64, 13),   # CLIC-scale M, q~20 (legacy kernel)
+        (4, 49152, 64, 32),   # CLIC-scale M, high rank (legacy kernel)
     ]:
         xs = jnp.asarray(rng.integers(0, 256, (cb, cm, cn)).astype(np.float32))
         u0s, v0s, _ = jax.block_until_ready(
@@ -236,9 +238,16 @@ def main() -> None:
     out["loop_sweep"] = sweep_rows
     out["auto_policy"] = (
         "backend='auto' selects per channel by patch-stack height M "
-        "(parallel/encode.py PALLAS_MIN_M=16384): XLA below the crossover "
-        "(Kodak M=6144: 0.88x), the fused Pallas kernel above it "
-        "(CLIC-scale M=49152: 1.06x at r=13, 1.57x at r=32). "
+        "(parallel/encode.py PALLAS_MIN_M=16384): XLA below the crossover, "
+        "the fused Pallas kernels above it (M=49152: 1.04x at r=13, 1.60x "
+        "at r=32). Below the crossover the round-4 group kernel closed "
+        "0.88x -> 0.97x at Kodak r=6 and WINS at r=26 (1.12x), but auto "
+        "still prefers XLA there: it preserves byte-identity with "
+        "per-image qmf_encode (Pallas accumulation order flips ~4% of "
+        "factor entries at round() ties), and the residual r<=13 gap is "
+        "MXU-structural - matmuls under 128 rows cost K*M cycles "
+        "regardless of row count, so the group layout's block-diagonal "
+        "K=G*N products cannot be bought back at small ranks. "
         "backend='pallas'/'xla' force either path."
     )
     path = os.path.join(os.path.dirname(__file__), "pallas_evidence.json")

@@ -258,10 +258,13 @@ def _cached_sharded_encoder(
     # `backend="pallas"` forces the kernel (interpret mode off-TPU, for
     # tests); "auto" selects per channel by patch-stack height M, from the
     # measured crossover (experiments/pallas_evidence.json loop_sweep,
-    # interleaved min-of-3 chained probes on the v5e): XLA wins at Kodak
-    # M=6144 (0.88x), the fused kernel wins at CLIC-scale M=49152 (1.06x at
-    # r=13, 1.57x at r=32) where the whole-sweep fusion amortizes over far
-    # more rows per HBM round trip.
+    # interleaved min-of-3 chained probes on the v5e): the fused kernels
+    # win at CLIC-scale M=49152 (1.04x at r=13, 1.60x at r=32). Below the
+    # crossover the round-4 group kernel reaches 0.97-1.12x, but auto
+    # keeps XLA there: it preserves byte-identity with per-image
+    # qmf_encode (Pallas accumulation order flips ~4% of factor entries
+    # at round() ties), which the large-M contract explicitly trades away
+    # (see sharded_qmf_encode_batch's docstring).
     if backend == "pallas" and shard_patches:
         raise NotImplementedError(
             "backend='pallas' supports data-parallel meshes; patch-sharded "

