@@ -77,6 +77,42 @@ def svd_init(
     orientation deterministically matches-or-beats it on every component.
     """
     u, v = svd_balanced_factors(x, rank, method=method)
+    return _finish_init(x, u, v, num_levels, bounds)
+
+
+def svd_init_shared(stacks, ranks, num_levels=None, bounds=(None, None)):
+    """`svd_init` for several same-N patch stacks sharing ONE batched eigh.
+
+    The TPU eigh's cost is schedule-dominated, not batch-dominated
+    (`lrf_tpu.ops.svd.shared_truncated_svd`), so the encoder initializes
+    every channel's factorization from a single eigh over the concatenated
+    (N, N) Gram batch. Per-stack results match per-stack `svd_init`
+    (pinned by tests). Returns a list of `(u, v, w)` triples.
+    """
+    import math as _math
+
+    from lrf_tpu.ops.svd import shared_truncated_svd
+
+    r_effs = [
+        min(r, x.shape[-2], x.shape[-1]) for x, r in zip(stacks, ranks)
+    ]
+    triplets = shared_truncated_svd(stacks, r_effs)
+    out = []
+    for x, rank, r_eff, (u, s, v) in zip(stacks, ranks, r_effs, triplets):
+        rs = jnp.sqrt(s)
+        u = u * rs[..., None, :]
+        v = v * rs[..., None, :]
+        if rank > r_eff:  # reference zero-pads (factorization/qmf.py:50-52)
+            pad = [(0, 0)] * (u.ndim - 1) + [(0, rank - r_eff)]
+            u = jnp.pad(u, pad)
+            v = jnp.pad(v, pad)
+        out.append(_finish_init(x, u, v, num_levels, bounds))
+    return out
+
+
+def _finish_init(x, u, v, num_levels, bounds):
+    """Shared tail of the QMF initializer: clip-minimizing sign selection,
+    optional num_levels rescale, and the affine `w` (see `svd_init`)."""
     lo, hi = bounds
     if lo is not None and hi is not None:
         lo_i, hi_i = math.ceil(lo), math.floor(hi)
@@ -234,16 +270,34 @@ def qmf_decompose(
     `v (..., N, R)`, and affine `w (..., 2, 1)`.
     """
     x = x.astype(jnp.float32)
-    u, v, w = svd_init(
+    init = svd_init(
         x, rank, num_levels=num_levels, method=init_method, bounds=bounds
     )
+    return bcd_from_init(
+        x, init, num_iters=num_iters, bounds=bounds, factor=factor, l2=l2,
+        l1_ratio=l1_ratio,
+    )
+
+
+def bcd_from_init(
+    x: jnp.ndarray,
+    init,
+    num_iters: int = 10,
+    bounds: tuple[Optional[float], Optional[float]] = (None, None),
+    factor: tuple[int, ...] = (0, 1),
+    l2: tuple[float, float] = (0.0, 0.0),
+    l1_ratio: float = 0.0,
+):
+    """The BCD sweep loop of `qmf_decompose` from a precomputed
+    `(u, v, w)` init (e.g. the encoder's shared-eigh `svd_init_shared`)."""
+    x = x.astype(jnp.float32)
     project = make_project(bounds)
 
     def body(_, carry):
         u, v, w = carry
         return bcd_sweep(x, u, v, w, factor=factor, project=project, l2=l2, l1_ratio=l1_ratio)
 
-    u, v, w = lax.fori_loop(0, num_iters, body, (u, v, w))
+    u, v, w = lax.fori_loop(0, num_iters, body, tuple(init))
     return u, v, w
 
 

@@ -272,7 +272,7 @@ def _cached_sharded_encoder(
         )
     PALLAS_MIN_M = 16384
 
-    def factorize(xm, rank):
+    def factorize(xm, rank, init=None):
         use_pallas = backend == "pallas" or (
             backend == "auto"
             and jax.default_backend() == "tpu"
@@ -284,7 +284,9 @@ def _cached_sharded_encoder(
             from lrf_tpu.ops.bcd_pallas import bcd_pallas
 
             interpret = jax.default_backend() != "tpu"
-            u0, v0, _ = svd_init(xm, rank, bounds=bounds)
+            if init is None:
+                init = svd_init(xm, rank, bounds=bounds)
+            u0, v0, _ = init
             run = functools.partial(
                 bcd_pallas, num_iters=num_iters, bounds=bounds, interpret=interpret
             )
@@ -300,6 +302,13 @@ def _cached_sharded_encoder(
                     check_vma=False,
                 )
             return run(xm, u0, v0)
+        if init is not None:
+            from lrf_tpu.ops.bcd import bcd_from_init
+
+            u, v, _ = bcd_from_init(
+                xm, init, num_iters=num_iters, bounds=bounds, factor=(0, 1)
+            )
+            return u, v
         u, v, _ = qmf_decompose(
             xm, rank=rank, num_iters=num_iters, bounds=bounds, factor=(0, 1)
         )
@@ -326,10 +335,27 @@ def _cached_sharded_encoder(
         # device rate is latency-bound on exactly those chains). Per-image
         # math is unchanged (batching is data-parallel in every op).
         if stacks[1].shape == stacks[2].shape and ranks[1] == ranks[2]:
-            u_y, v_y = factorize(stacks[0], ranks[0])
-            u_c, v_c = factorize(
-                jnp.concatenate([stacks[1], stacks[2]], axis=0), ranks[1]
-            )
+            merged = jnp.concatenate([stacks[1], stacks[2]], axis=0)
+            # Shared-eigh init: every channel's Gram is (N, N), so one
+            # batched eigh initializes all channels. The eigh IS the
+            # device-time bottleneck (~0.2 ms/matrix, batch-linear,
+            # measured — so the merge itself is ~neutral on time), and a
+            # single init keeps the program structurally simple. Guard:
+            # the shared path computes the column-side Gram, valid when
+            # M >= N (always, except images smaller than one patch
+            # column).
+            if stacks[0].shape[-2] >= stacks[0].shape[-1] and merged.shape[
+                -2
+            ] >= merged.shape[-1]:
+                from lrf_tpu.ops.bcd import svd_init_shared
+
+                init_y, init_c = svd_init_shared(
+                    [stacks[0], merged], [ranks[0], ranks[1]], bounds=bounds
+                )
+            else:
+                init_y = init_c = None
+            u_y, v_y = factorize(stacks[0], ranks[0], init=init_y)
+            u_c, v_c = factorize(merged, ranks[1], init=init_c)
             b = stacks[1].shape[0]
             per_channel = [
                 (u_y, v_y),

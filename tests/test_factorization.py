@@ -200,3 +200,19 @@ class TestQMF:
         u0, v0, w0 = svd_init(x, 4)
         recon_plain = np.asarray(qmf_reconstruct(u0, v0, w0))
         np.testing.assert_allclose(recon_scaled, recon_plain, rtol=1e-3, atol=1e-4)
+
+
+    def test_svd_init_shared_matches_per_stack(self):
+        # The encoder's shared-eigh init (one batched eigh over all
+        # channels' (N, N) Grams) must reproduce per-stack svd_init
+        # exactly — same math, same batched-eigh rotation schedule.
+        from lrf_tpu.ops.bcd import svd_init_shared
+
+        y = jnp.asarray(RNG.integers(0, 256, (4, 300, 64)).astype(np.float32))
+        c = jnp.asarray(RNG.integers(0, 256, (8, 90, 64)).astype(np.float32))
+        shared = svd_init_shared([y, c], [6, 3], bounds=(-16, 15))
+        for stack, rank, (u, v, w) in zip([y, c], [6, 3], shared):
+            u0, v0, w0 = svd_init(stack, rank, bounds=(-16, 15))
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(u0))
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(v0))
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(w0))
