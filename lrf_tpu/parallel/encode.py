@@ -517,11 +517,12 @@ def build_sharded_encoder(
             c_total = bounds_idx[-1]
             n_seg_words = len(values) + 1
             main_words = c_total * _entropy.MAIN_WORDS
-            # adaptive budget: the default plus any headroom learned from
-            # earlier batches of this shape (overflow / near-budget usage)
-            exc_budget = max(
-                _entropy.default_exc_rows(c_total),
-                _EXC_ROWS_HINT.get(shapes, 0),
+            # adaptive budget: the observed-usage hint overrides the static
+            # default in BOTH directions — grown on overflow/near-budget
+            # batches (headroom) and shrunk toward the rolling p99 (the
+            # whole budget is wire every batch; see _observe_entropy_rows)
+            exc_budget = _EXC_ROWS_HINT.get(shapes) or _entropy.default_exc_rows(
+                c_total
             )
             pack_spec.update(
                 values_per_segment=tuple(values),
@@ -763,10 +764,12 @@ def sharded_qmf_encode_batches(
     # copy_to_host_async) issued `depth` batches ahead of the blocking
     # fetch, the device queue never drains while the main thread waits on
     # the transport, so the steady-state period approaches the pure D2H
-    # bound rather than fetch + exposed compute. Default 2; overridable per
-    # call or via LRF_TPU_PIPELINE_DEPTH for transport sweeps.
+    # bound rather than fetch + exposed compute. Default 3 (round-4
+    # interleaved sweep: depth 3-6 consistently >= depth 2 under tunnel
+    # weather, diminishing returns past 3); overridable per call or via
+    # LRF_TPU_PIPELINE_DEPTH for transport sweeps.
     if depth is None:
-        depth = _env_int("LRF_TPU_PIPELINE_DEPTH", 2)
+        depth = _env_int("LRF_TPU_PIPELINE_DEPTH", 3)
 
     # 2 serializer workers: the deflate / entropy-decode tail runs in
     # GIL-released C++, and at entropy-transport rates one worker's tail

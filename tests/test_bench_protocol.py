@@ -89,6 +89,25 @@ class TestSupervisorAgreement:
         assert not _attempt_clean(_rec(300, weather_limited=True))
         assert not _attempt_clean(_rec(300, decode_weather_limited=True))
 
+    def test_decode_wire_utilization_substitutes_for_plateau(self):
+        # decode windows are ~1 s; tunnel jitter defeats the 10% cluster
+        # even at 80-98% of the tunnel's own probed ceiling. Achieved-H2D
+        # >= 75% of probe proves there was no ramp/throttle to hide.
+        near_ceiling = _rec(
+            300,
+            decode_plateaued=False,
+            decode_achieved_h2d_mb_s=32.6,
+            tunnel_h2d_probe_mb_s=40.7,
+        )
+        assert _attempt_clean(near_ceiling)
+        throttled = _rec(
+            300,
+            decode_plateaued=False,
+            decode_achieved_h2d_mb_s=20.0,
+            tunnel_h2d_probe_mb_s=40.7,
+        )
+        assert not _attempt_clean(throttled)
+
     def test_agreeing_clean_pair_confirms_better_value(self):
         out = _confirmed_record([_rec(330), _rec(350)])
         assert out is not None and out["confirmed"]
