@@ -80,7 +80,9 @@ def svd_init(
     return _finish_init(x, u, v, num_levels, bounds)
 
 
-def svd_init_shared(stacks, ranks, num_levels=None, bounds=(None, None)):
+def svd_init_shared(
+    stacks, ranks, num_levels=None, bounds=(None, None), method="gram"
+):
     """`svd_init` for several same-N patch stacks sharing ONE batched eigh.
 
     The TPU eigh's cost is schedule-dominated, not batch-dominated
@@ -96,7 +98,7 @@ def svd_init_shared(stacks, ranks, num_levels=None, bounds=(None, None)):
     r_effs = [
         min(r, x.shape[-2], x.shape[-1]) for x, r in zip(stacks, ranks)
     ]
-    triplets = shared_truncated_svd(stacks, r_effs)
+    triplets = shared_truncated_svd(stacks, r_effs, method=method)
     out = []
     for x, rank, r_eff, (u, s, v) in zip(stacks, ranks, r_effs, triplets):
         rs = jnp.sqrt(s)

@@ -22,6 +22,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _gram_eig(g, method: str):
+    """Ascending eigendecomposition of a batched Gram: XLA's `eigh`
+    ("gram", the default) or the batched-GEMM parallel Jacobi ("jacobi",
+    `lrf_tpu.ops.jacobi`). The Jacobi route was measured and NOT adopted:
+    standalone it beats XLA's eigh 1.5x at B=192, but inside the fused
+    encode program it runs slower (XLA schedules eigh better in context)
+    and its f32 tail eigenvectors degrade high-rank quality (-1.3 dB at
+    q40); kept as a documented alternative for small-rank batch work."""
+    if method == "jacobi":
+        from lrf_tpu.ops.jacobi import jacobi_eigh
+
+        return jacobi_eigh(g)
+    return jnp.linalg.eigh(g)
+
+
 def _factors_from_gram_eigh(x, evals, evecs, r: int):
     """Truncated `(u, s, v)` of `x` from the eigendecomposition of its
     column Gram `X^T X` (eigh returns ascending order)."""
@@ -51,7 +66,7 @@ def truncated_svd(x: jnp.ndarray, rank: int, method: str = "gram"):
     if n <= m:
         # Gram on the short (column) side: G = X^T X, eig, U = X V / s.
         g = jnp.einsum("...ij,...ik->...jk", x, x, preferred_element_type=jnp.float32)
-        evals, evecs = jnp.linalg.eigh(g)  # ascending
+        evals, evecs = _gram_eig(g, method)  # ascending
         return _factors_from_gram_eigh(x, evals, evecs, r)
     else:
         # Gram on the short (row) side: G = X X^T, eigh, V = X^T U / s.
@@ -66,7 +81,7 @@ def truncated_svd(x: jnp.ndarray, rank: int, method: str = "gram"):
         return u, s, v
 
 
-def shared_truncated_svd(stacks, ranks):
+def shared_truncated_svd(stacks, ranks, method: str = "gram"):
     """Truncated SVDs of several same-N patch stacks via ONE batched eigh.
 
     `stacks`: sequence of `(B_i, M_i, N)` arrays (M_i may differ; N — the
@@ -91,7 +106,7 @@ def shared_truncated_svd(stacks, ranks):
         for x in stacks
     ]
     sizes = [g.shape[0] for g in grams]
-    evals, evecs = jnp.linalg.eigh(jnp.concatenate(grams, axis=0))
+    evals, evecs = _gram_eig(jnp.concatenate(grams, axis=0), method)
     out = []
     offset = 0
     for x, rank, size in zip(stacks, ranks, sizes):

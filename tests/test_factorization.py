@@ -216,3 +216,20 @@ class TestQMF:
             np.testing.assert_array_equal(np.asarray(u), np.asarray(u0))
             np.testing.assert_array_equal(np.asarray(v), np.asarray(v0))
             np.testing.assert_array_equal(np.asarray(w), np.asarray(w0))
+
+    def test_jacobi_eigh_matches_xla_eigh(self):
+        # The batched-GEMM parallel Jacobi (ops/jacobi.py) must satisfy the
+        # eigh contract on PSD Grams: ascending eigenvalues matching XLA's,
+        # orthonormal eigenvectors, small residual.
+        from lrf_tpu.ops.jacobi import jacobi_eigh
+
+        x = jnp.asarray(RNG.standard_normal((6, 64, 64)).astype(np.float32))
+        g = jnp.einsum("bij,bik->bjk", x, x)
+        ev, V = jacobi_eigh(g, sweeps=8)
+        e0, _ = jnp.linalg.eigh(g)
+        scale = float(jnp.abs(e0).max())
+        assert float(jnp.abs(ev - e0).max()) < 1e-4 * scale
+        orth = jnp.einsum("bij,bik->bjk", V, V) - jnp.eye(64)
+        assert float(jnp.abs(orth).max()) < 1e-3
+        resid = jnp.einsum("bij,bjk->bik", g, V) - V * ev[:, None, :]
+        assert float(jnp.linalg.norm(resid, axis=(1, 2)).max()) < 1e-4 * scale
