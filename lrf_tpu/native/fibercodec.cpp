@@ -375,4 +375,55 @@ int lrf_decompress_fibers(const uint8_t* blobs, const int64_t* blob_lens,
   return 0;
 }
 
+// Bit-pack int8 factor values into uint32 words for the decode H2D upload.
+//
+// Inputs are the per-factor FIBER-MAJOR inflate outputs (factor k: shape
+// (B * R_k, M_k), row b*R_k + r = column r of image b) — i.e. exactly what
+// `lrf_decompress_fibers` wrote, with no transpose/restack pass in between.
+// Output: per image, the value stream [factor 0 row-major (m, r), factor 1,
+// ...] packed `vals_per_word` values per uint32 (value v stored as
+// (v - lo) << (bits * slot)), `words_per_image` words per image — the same
+// layout `parallel/decode._inflate_streams` builds in numpy, fused into one
+// C++ pass (the numpy route's transpose + concat + widen + shift-reduce
+// temporaries measured ~37 ms/batch64 on the 2-core host; this measures
+// ~2 ms). Returns nonzero if any value falls outside [lo, lo + 2^bits):
+// the caller then falls back to the unpacked upload (the correctness guard
+// the numpy path implemented with a min/max scan).
+int lrf_pack_values(const int8_t* const* factor_bufs, int64_t n_factors,
+                    int64_t b, const int64_t* ms, const int64_t* rs,
+                    int32_t lo, int32_t bits, int64_t words_per_image,
+                    uint32_t* out) {
+  const int vals_per_word = 30 / bits;
+  const uint32_t limit = 1u << bits;
+  std::vector<int> rcs(static_cast<size_t>(b), 0);
+  parallel_for(b, [&](int64_t bi) {
+    uint32_t* dst = out + bi * words_per_image;
+    uint32_t acc = 0;
+    int slot = 0;
+    int bad = 0;
+    for (int64_t k = 0; k < n_factors; ++k) {
+      const int64_t m = ms[k], r = rs[k];
+      const int8_t* buf = factor_bufs[k] + bi * r * m;
+      for (int64_t mi = 0; mi < m; ++mi) {
+        for (int64_t ri = 0; ri < r; ++ri) {
+          uint32_t v =
+              static_cast<uint32_t>(static_cast<int32_t>(buf[ri * m + mi]) - lo);
+          bad |= (v >= limit);
+          acc |= (v & (limit - 1)) << (bits * slot);
+          if (++slot == vals_per_word) {
+            *dst++ = acc;
+            acc = 0;
+            slot = 0;
+          }
+        }
+      }
+    }
+    if (slot != 0) *dst++ = acc;
+    rcs[static_cast<size_t>(bi)] = bad;
+  });
+  for (int rc : rcs)
+    if (rc != 0) return 1;
+  return 0;
+}
+
 }  // extern "C"

@@ -132,6 +132,21 @@ def _load():
         ]
     except AttributeError:  # stale .so from before the dpack coder
         pass
+    try:
+        lib.lrf_pack_values.restype = ctypes.c_int
+        lib.lrf_pack_values.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+    except AttributeError:  # stale .so from before the pack fast path
+        pass
     _lib = lib
     return lib
 
@@ -260,3 +275,76 @@ def decompress_fibers(
         return None
     fibers = out.view(dtype).reshape(num_fibers, -1)
     return fibers.T.copy() if mode == "col" else fibers.copy()
+
+
+def decompress_fibers_raw(
+    blobs: Sequence[bytes], dtype: np.dtype
+) -> Optional[np.ndarray]:
+    """Inflate fibers to the raw FIBER-MAJOR `(num_fibers, per)` array —
+    no restack/transpose (feeds `pack_values`, which reads this layout
+    directly). None if the library is unavailable."""
+    lib = _load()
+    if lib is None or len(blobs) == 0:
+        return None
+    blob_lens = np.asarray([len(b) for b in blobs], dtype=np.int64)
+    joined = b"".join(blobs)
+    num_fibers = len(blobs)
+    import zlib as _zlib
+
+    first = np.frombuffer(_zlib.decompress(blobs[0]), dtype=dtype)
+    fiber_bytes = first.nbytes
+    out = np.empty(num_fibers * fiber_bytes, dtype=np.uint8)
+    rc = lib.lrf_decompress_fibers(
+        joined,
+        blob_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_fibers,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        fiber_bytes,
+    )
+    if rc != 0:
+        return None
+    return out.view(dtype).reshape(num_fibers, -1)
+
+
+def pack_values(
+    factor_bufs: Sequence[np.ndarray],
+    b: int,
+    ms: Sequence[int],
+    rs: Sequence[int],
+    lo: int,
+    bits: int,
+) -> Optional[np.ndarray]:
+    """Fused bit-pack of int8 fiber-major factor buffers into the decode
+    upload's `(B, words_per_image)` uint32 layout (see fibercodec.cpp).
+
+    Returns None if the library lacks the entry point OR any value falls
+    outside `[lo, lo + 2^bits)` — callers fall back to the numpy path /
+    unpacked upload in both cases.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "lrf_pack_values"):
+        return None
+    n_values = sum(int(m) * int(r) for m, r in zip(ms, rs))
+    vals_per_word = 30 // bits
+    words = -(-n_values // vals_per_word)
+    out = np.empty((b, words), dtype=np.uint32)
+    bufs = [np.ascontiguousarray(f, dtype=np.int8) for f in factor_bufs]
+    ptrs = (ctypes.c_void_p * len(bufs))(
+        *[f.ctypes.data_as(ctypes.c_void_p).value for f in bufs]
+    )
+    ms_arr = np.asarray(ms, dtype=np.int64)
+    rs_arr = np.asarray(rs, dtype=np.int64)
+    rc = lib.lrf_pack_values(
+        ptrs,
+        len(bufs),
+        b,
+        ms_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lo,
+        bits,
+        words,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if rc != 0:
+        return None
+    return out

@@ -198,3 +198,35 @@ class TestThreadSafety:
         for t in threads:
             t.join()
         assert not errs
+
+
+def test_inflate_pack_fast_path_matches_numpy():
+    # The fused native inflate+pack decode prep must be bit-identical to
+    # the numpy route (restack + concat + shift-reduce), including the
+    # trailing-word zero padding. Skipped when the native lib is absent
+    # (the numpy path is then the only path).
+    import jax
+
+    from lrf_tpu.native import fibercodec as native
+    from lrf_tpu.parallel import decode as dec
+    from lrf_tpu.parallel.encode import sharded_qmf_encode_batch
+    from lrf_tpu.parallel.mesh import make_mesh
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(5)
+    batch = rng.integers(0, 256, (6, 3, 48, 64)).astype(np.uint8)
+    mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+    streams = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=2)
+    dec._PACK_DECISIONS.clear()
+    fast = dec._inflate_streams(streams)
+    assert fast[4] is not None, "fast path must engage on canonical configs"
+    orig = dec._inflate_pack_native
+    try:
+        dec._inflate_pack_native = lambda *a, **k: None
+        dec._PACK_DECISIONS.clear()
+        slow = dec._inflate_streams(streams)
+    finally:
+        dec._inflate_pack_native = orig
+    assert fast[2] == slow[2] and fast[4] == slow[4]
+    np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
