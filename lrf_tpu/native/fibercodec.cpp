@@ -375,6 +375,144 @@ int lrf_decompress_fibers(const uint8_t* blobs, const int64_t* blob_lens,
   return 0;
 }
 
+// Delta + zigzag static-Huffman encode of int8 factor values into the
+// device entropy-transport layout (the H2D mirror of the encode-side
+// `lrf_tpu.ops.entropy.pack_segments`): per 64-value chunk, a fixed
+// MAIN_WORDS slot in `main_out` plus ROW_WORDS-word continuation rows
+// allocated densely in global chunk order in `exc_out`; per-chunk row
+// counts in `chunk_rows_out` (the device decoder cumsums them into row
+// bases). Segments are (factor, image) in factor-major order, each padded
+// to a chunk multiple with the zz=0 pad symbol; the delta runs along M
+// within each rank column (stream order is m-major, so the running value
+// is tracked per column). Returns 1 if the total rows exceed
+// `max_rows_budget` (caller falls back to the flat bit-pack).
+int lrf_dpack_encode(const int8_t* const* factor_bufs, int64_t n_factors,
+                     int64_t b, const int64_t* ms, const int64_t* rs,
+                     const int32_t* lens, const uint32_t* codes,
+                     int64_t alphabet, int64_t chunk, int64_t main_words,
+                     int64_t row_words, int64_t max_rows_budget,
+                     uint32_t* main_out, uint32_t* exc_out,
+                     uint8_t* chunk_rows_out, int64_t* n_rows_out) {
+  const int64_t main_bits = main_words * 32;
+  const int64_t row_bits = row_words * 32;
+  std::vector<int> seg_bad;
+  // segment table: (factor, image) -> first chunk id
+  std::vector<int64_t> seg_factor, seg_image, seg_chunk0;
+  int64_t c_total = 0;
+  for (int64_t k = 0; k < n_factors; ++k) {
+    const int64_t per = ms[k] * rs[k];
+    const int64_t chunks = (per + chunk - 1) / chunk;
+    for (int64_t bi = 0; bi < b; ++bi) {
+      seg_factor.push_back(k);
+      seg_image.push_back(bi);
+      seg_chunk0.push_back(c_total);
+      c_total += chunks;
+    }
+  }
+  const int64_t n_segments = static_cast<int64_t>(seg_factor.size());
+  seg_bad.assign(static_cast<size_t>(n_segments), 0);
+
+  // pass 1: per-chunk bit counts -> row counts (parallel over segments)
+  parallel_for(n_segments, [&](int64_t si) {
+    const int64_t k = seg_factor[static_cast<size_t>(si)];
+    const int64_t bi = seg_image[static_cast<size_t>(si)];
+    const int64_t m = ms[k], r = rs[k], per = m * r;
+    const int8_t* buf = factor_bufs[k] + bi * r * m;
+    std::vector<int32_t> run(static_cast<size_t>(r), 0);
+    int64_t cid = seg_chunk0[static_cast<size_t>(si)];
+    int64_t bits = 0, in_chunk = 0;
+    // m-major walk without per-value div/mod (measured: the v/r, v%r
+    // form cost ~30 ms/batch64 on this host)
+    int64_t mi = 0, ri = 0;
+    const int64_t padded = ((per + chunk - 1) / chunk) * chunk;
+    for (int64_t v = 0; v < padded; ++v) {
+      int32_t zz = 0;
+      if (v < per) {
+        const int32_t x = buf[ri * m + mi];
+        const int32_t d = x - run[static_cast<size_t>(ri)];
+        run[static_cast<size_t>(ri)] = x;
+        zz = d >= 0 ? 2 * d : -2 * d - 1;
+        if (zz >= alphabet) {  // delta outside the static code's alphabet
+          seg_bad[static_cast<size_t>(si)] = 1;
+          zz = 0;
+        }
+        if (++ri == r) {
+          ri = 0;
+          ++mi;
+        }
+      }
+      bits += lens[zz];
+      if (++in_chunk == chunk) {
+        const int64_t rows =
+            bits > main_bits ? (bits - main_bits + row_bits - 1) / row_bits : 0;
+        chunk_rows_out[cid++] = static_cast<uint8_t>(rows);
+        bits = 0;
+        in_chunk = 0;
+      }
+    }
+  });
+  // global row bases (exclusive cumsum over all chunks, chunk order)
+  std::vector<int64_t> base(static_cast<size_t>(c_total) + 1, 0);
+  for (int64_t c = 0; c < c_total; ++c)
+    base[static_cast<size_t>(c) + 1] =
+        base[static_cast<size_t>(c)] + chunk_rows_out[c];
+  *n_rows_out = base[static_cast<size_t>(c_total)];
+  if (*n_rows_out > max_rows_budget) return 1;
+  for (int bad : seg_bad)
+    if (bad) return 2;
+
+  // pass 2: emit bits (parallel over segments; disjoint output ranges)
+  parallel_for(n_segments, [&](int64_t si) {
+    const int64_t k = seg_factor[static_cast<size_t>(si)];
+    const int64_t bi = seg_image[static_cast<size_t>(si)];
+    const int64_t m = ms[k], r = rs[k], per = m * r;
+    const int8_t* buf = factor_bufs[k] + bi * r * m;
+    std::vector<int32_t> run(static_cast<size_t>(r), 0);
+    int64_t cid = seg_chunk0[static_cast<size_t>(si)];
+    // chunk register: worst case chunk * max_len bits
+    std::vector<uint32_t> reg(static_cast<size_t>(main_words) +
+                              12 * static_cast<size_t>(chunk) / 32 + 2);
+    std::fill(reg.begin(), reg.end(), 0u);
+    int64_t bitpos = 0, in_chunk = 0, mi = 0, ri = 0;
+    const int64_t padded = ((per + chunk - 1) / chunk) * chunk;
+    for (int64_t v = 0; v < padded; ++v) {
+      int32_t zz = 0;
+      if (v < per) {
+        const int32_t x = buf[ri * m + mi];
+        const int32_t d = x - run[static_cast<size_t>(ri)];
+        run[static_cast<size_t>(ri)] = x;
+        zz = d >= 0 ? 2 * d : -2 * d - 1;
+        if (zz >= alphabet) zz = 0;  // pass 1 already flagged the segment
+        if (++ri == r) {
+          ri = 0;
+          ++mi;
+        }
+      }
+      const uint32_t code = codes[zz];
+      const int32_t len = lens[zz];
+      const int64_t w = bitpos >> 5, off = bitpos & 31;
+      reg[static_cast<size_t>(w)] |= code << off;
+      if (off != 0)
+        reg[static_cast<size_t>(w) + 1] |= code >> (32 - off);
+      bitpos += len;
+      if (++in_chunk == chunk) {
+        in_chunk = 0;
+        uint32_t* mp = main_out + cid * main_words;
+        for (int64_t j = 0; j < main_words; ++j)
+          mp[j] = reg[static_cast<size_t>(j)];
+        const int64_t rows = chunk_rows_out[cid];
+        uint32_t* ep = exc_out + base[static_cast<size_t>(cid)] * row_words;
+        for (int64_t j = 0; j < rows * row_words; ++j)
+          ep[j] = reg[static_cast<size_t>(main_words + j)];
+        std::fill(reg.begin(), reg.end(), 0u);
+        bitpos = 0;
+        ++cid;
+      }
+    }
+  });
+  return 0;
+}
+
 // Bit-pack int8 factor values into uint32 words for the decode H2D upload.
 //
 // Inputs are the per-factor FIBER-MAJOR inflate outputs (factor k: shape

@@ -147,6 +147,28 @@ def _load():
         ]
     except AttributeError:  # stale .so from before the pack fast path
         pass
+    try:
+        lib.lrf_dpack_encode.restype = ctypes.c_int
+        lib.lrf_dpack_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:  # stale .so from before the dpack encoder
+        pass
     _lib = lib
     return lib
 
@@ -348,3 +370,60 @@ def pack_values(
     if rc != 0:
         return None
     return out
+
+
+def dpack_encode(
+    factor_bufs: Sequence[np.ndarray],
+    b: int,
+    ms: Sequence[int],
+    rs: Sequence[int],
+    lens: np.ndarray,
+    codes: np.ndarray,
+    chunk: int,
+    main_words: int,
+    row_words: int,
+    max_rows_budget: int,
+):
+    """Delta+Huffman encode fiber-major int8 factor buffers into the device
+    entropy-transport layout (fibercodec.cpp::lrf_dpack_encode). Returns
+    `(main, exc, chunk_rows, n_rows)` or None (no lib / budget overflow —
+    callers fall back to the flat bit-pack)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lrf_dpack_encode"):
+        return None
+    c_total = sum(
+        b * (-(-int(m) * int(r) // chunk)) for m, r in zip(ms, rs)
+    )
+    main = np.zeros(c_total * main_words, dtype=np.uint32)
+    exc = np.zeros(max_rows_budget * row_words, dtype=np.uint32)
+    chunk_rows = np.zeros(c_total, dtype=np.uint8)
+    n_rows = np.zeros(1, dtype=np.int64)
+    bufs = [np.ascontiguousarray(f, dtype=np.int8) for f in factor_bufs]
+    ptrs = (ctypes.c_void_p * len(bufs))(
+        *[f.ctypes.data_as(ctypes.c_void_p).value for f in bufs]
+    )
+    ms_arr = np.asarray(ms, dtype=np.int64)
+    rs_arr = np.asarray(rs, dtype=np.int64)
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    codes32 = np.ascontiguousarray(codes, dtype=np.uint32)
+    rc = lib.lrf_dpack_encode(
+        ptrs,
+        len(bufs),
+        b,
+        ms_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        codes32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(lens32),
+        chunk,
+        main_words,
+        row_words,
+        max_rows_budget,
+        main.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        exc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        chunk_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return main, exc, chunk_rows, int(n_rows[0])

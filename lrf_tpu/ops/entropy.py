@@ -335,6 +335,120 @@ def pack_segments(factors, max_exc_rows=None):
     return seg_row_base, main, exc
 
 
+def _inverse_steps():
+    """Staircase-inverse decode table: [(L, start_code_msb, first_sym,
+    count)] per distinct code length. With canonical monotone codes, an
+    L-bit MSB-read prefix `c` is a complete code iff
+    `start_L <= c < start_L + count_L` — and prefix-freeness guarantees
+    exactly one length matches even when lookahead bits are garbage."""
+    steps = []
+    codes_msb = []
+    code = 0
+    prev = int(LENS[0])
+    for s in range(len(LENS)):
+        L = int(LENS[s])
+        code <<= L - prev
+        codes_msb.append(code)
+        code += 1
+        prev = L
+    s = 0
+    while s < len(LENS):
+        L = int(LENS[s])
+        e = s
+        while e < len(LENS) and int(LENS[e]) == L:
+            e += 1
+        steps.append((L, codes_msb[s], s, e - s))
+        s = e
+    return steps
+
+
+_INV_STEPS = _inverse_steps()
+
+
+def unpack_chunks_device(rows_u8, main, exc, shapes):
+    """Chunk-parallel DEVICE decode of the dpack transport (H2D mirror of
+    `pack_segments`): every chunk decodes independently given its
+    continuation-row count, so the whole batch is `CHUNK` sequential
+    `lax.scan` steps of pure VPU work over all chunks at once — no
+    table gathers (staircase-inverse compares, see `_inverse_steps`), no
+    per-chunk control flow. Inputs are jnp arrays: per-chunk row counts
+    (C,) uint8, the main stream (C*MAIN_WORDS,) uint32, the continuation
+    rows (budget*ROW_WORDS,) uint32. Returns the int32 factor VALUE
+    arrays (delta undone), one (B, M, R) per shape.
+
+    This is the decode-direction "entropy coding on device" (the encode
+    direction shipped in round 3): the host (C++ `lrf_dpack_encode`)
+    shrinks the decode upload from 5 to ~3 bits/value and the device
+    undoes it inside the reconstruction program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _, chunks_per_seg, bounds = segment_layout(shapes)
+    c_total = bounds[-1]
+    max_len = int(LENS.max())
+    w_total = MAIN_WORDS + ROW_WORDS * MAX_ROWS
+
+    rows = rows_u8.astype(jnp.int32)
+    base = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(rows)])[:-1]
+    # per-chunk word window: the fixed main slot + this chunk's rows (plus
+    # clipped lookahead rows owned by later chunks — garbage bits there
+    # never complete a code before this chunk's stream ends; prefix-free)
+    main2 = main.reshape(c_total, MAIN_WORDS)
+    tail_idx = base[:, None] * ROW_WORDS + jnp.arange(
+        ROW_WORDS * MAX_ROWS, dtype=jnp.int32
+    )
+    tail = jnp.take(exc, tail_idx, mode="clip")
+    buf = jnp.concatenate([main2, tail], axis=1)  # (C, w_total)
+
+    def step(bitpos, _):
+        w = (bitpos >> 5).astype(jnp.int32)
+        off = (bitpos & 31).astype(jnp.uint32)
+        # word select via masked sum (lane-dim dynamic gathers lower
+        # poorly on TPU; w_total is small and static)
+        w0 = jnp.zeros(bitpos.shape, jnp.uint32)
+        w1 = jnp.zeros(bitpos.shape, jnp.uint32)
+        for j in range(w_total):
+            w0 = w0 + jnp.where(w == j, buf[:, j], jnp.uint32(0))
+            w1 = w1 + jnp.where(w == j - 1, buf[:, j], jnp.uint32(0))
+        window = (w0 >> off) | jnp.where(
+            off == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - off)
+        )
+        # bit-reverse the window once; each candidate length L reads its
+        # MSB code as rev >> (32 - L)
+        x = window
+        x = ((x & jnp.uint32(0x55555555)) << 1) | ((x >> 1) & jnp.uint32(0x55555555))
+        x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+        x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+        x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+        rev = (x << 16) | (x >> 16)
+        sym = jnp.zeros(bitpos.shape, jnp.int32)
+        ln = jnp.zeros(bitpos.shape, jnp.int32)
+        for L, start, first_sym, count in _INV_STEPS:
+            c = (rev >> jnp.uint32(32 - L)).astype(jnp.int32)
+            hit = (c >= start) & (c < start + count)
+            sym = sym + jnp.where(hit, c - start + first_sym, 0)
+            ln = ln + jnp.where(hit, L, 0)
+        delta = jnp.where(sym % 2 == 1, -((sym + 1) // 2), sym // 2)
+        return bitpos + ln.astype(jnp.uint32), delta
+
+    bit0 = jnp.zeros((c_total,), jnp.uint32)
+    _, deltas = jax.lax.scan(step, bit0, None, length=CHUNK)
+    deltas = deltas.T  # (C, CHUNK)
+
+    out = []
+    offset = 0
+    for shape in shapes:
+        b, m, r = shape
+        per = m * r
+        cps = -(-per // CHUNK)
+        block = deltas[offset : offset + b * cps].reshape(b, cps * CHUNK)
+        offset += b * cps
+        vals = block[:, :per].reshape(b, m, r)
+        out.append(jnp.cumsum(vals, axis=1, dtype=jnp.int32))
+    return out
+
+
 def decode_segments_py(
     main: np.ndarray,
     exc: np.ndarray,

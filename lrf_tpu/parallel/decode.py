@@ -43,6 +43,14 @@ __all__ = ["sharded_qmf_decode_batch", "sharded_qmf_decode_batches"]
 _PACK_DECISIONS: dict = {}
 
 
+def _DECODE_TRANSPORT() -> str:
+    """H2D factor transport: "flat" (5-bit pack, default) or "dpack"
+    (delta+Huffman entropy upload — see _inflate_pack_native)."""
+    import os
+
+    return os.environ.get("LRF_TPU_DECODE_TRANSPORT", "flat")
+
+
 @lru_cache(maxsize=None)
 def _cached_sharded_decoder(
     mesh: Mesh, orig_sizes, padded_sizes, patch_size, uv_shapes, in_dtype,
@@ -56,24 +64,51 @@ def _cached_sharded_decoder(
     # arrives bit-packed (~bits/8 bytes per value instead of 1) and is
     # unpacked on device with shift/mask ops that XLA fuses away.
     def decode(flat):
-        if pack is not None:
-            lo, bits, total = pack
-            vals_per_word = 30 // bits
-            mask = jnp.uint32((1 << bits) - 1)
-            shifts = jnp.arange(vals_per_word, dtype=jnp.uint32) * bits
-            vals = (flat[:, :, None] >> shifts[None, None, :]) & mask
-            flat = (
-                vals.reshape(flat.shape[0], -1)[:, :total].astype(jnp.int32)
-                + lo
-            ).astype(jnp.dtype(in_dtype))
-        factors = []
-        offset = 0
-        for shape in uv_shapes:  # (M, R) per factor, batch-major flat
-            n = shape[0] * shape[1]
-            factors.append(
-                flat[:, offset : offset + n].reshape((-1,) + shape)
+        if pack is not None and pack[0] == "dpack":
+            # delta+Huffman upload (~3 bits/value): flat is ONE 1-D uint32
+            # buffer [chunk-row counts (u8 word-packed) | main | rows];
+            # the chunk-parallel device decoder undoes it
+            # (`ops.entropy.unpack_chunks_device`)
+            from lrf_tpu.ops import entropy as _entropy
+
+            _, b_, budget = pack
+            shapes3 = tuple((b_, m, r) for m, r in uv_shapes)
+            c_total = sum(
+                b_ * (-(-m * r // _entropy.CHUNK)) for m, r in uv_shapes
             )
-            offset += n
+            rows_words = -(-c_total // 4)
+            rw = flat[:rows_words]
+            rows_u8 = (
+                (rw[:, None] >> (jnp.arange(4, dtype=jnp.uint32) * 8))
+                & jnp.uint32(0xFF)
+            ).reshape(-1)[:c_total]
+            main = flat[rows_words : rows_words + c_total * _entropy.MAIN_WORDS]
+            exc = flat[
+                rows_words
+                + c_total * _entropy.MAIN_WORDS : rows_words
+                + c_total * _entropy.MAIN_WORDS
+                + budget * _entropy.ROW_WORDS
+            ]
+            factors = _entropy.unpack_chunks_device(rows_u8, main, exc, shapes3)
+        else:
+            if pack is not None:
+                lo, bits, total = pack
+                vals_per_word = 30 // bits
+                mask = jnp.uint32((1 << bits) - 1)
+                shifts = jnp.arange(vals_per_word, dtype=jnp.uint32) * bits
+                vals = (flat[:, :, None] >> shifts[None, None, :]) & mask
+                flat = (
+                    vals.reshape(flat.shape[0], -1)[:, :total].astype(jnp.int32)
+                    + lo
+                ).astype(jnp.dtype(in_dtype))
+            factors = []
+            offset = 0
+            for shape in uv_shapes:  # (M, R) per factor, batch-major flat
+                n = shape[0] * shape[1]
+                factors.append(
+                    flat[:, offset : offset + n].reshape((-1,) + shape)
+                )
+                offset += n
         ycbcr = []
         for i in range(3):
             u = factors[2 * i].astype(jnp.float32)
@@ -105,10 +140,12 @@ def sharded_qmf_decode_batch(
     without a host round trip).
     """
     assert out in ("host", "device")
-    return _device_decode(*_inflate_streams(streams), mesh, out)
+    return _device_decode(
+        *_inflate_streams(streams, mesh.devices.size == 1), mesh, out
+    )
 
 
-def _inflate_streams(streams):
+def _inflate_streams(streams, single_device: bool = True):
     """Host stage: parse containers + inflate all fibers (native zlib).
 
     Touches no jax state, so it can run on a worker thread concurrently
@@ -133,7 +170,7 @@ def _inflate_streams(streams):
             per_factor[k].append(blob)
 
     b = len(streams)
-    fast = _inflate_pack_native(per_factor, metadata, b)
+    fast = _inflate_pack_native(per_factor, metadata, b, single_device)
     if fast is not None:
         return fast
 
@@ -178,7 +215,7 @@ def _inflate_streams(streams):
     return flat, metadata, shapes, flat.dtype.name, pack
 
 
-def _inflate_pack_native(per_factor, metadata, b: int):
+def _inflate_pack_native(per_factor, metadata, b: int, single_device: bool):
     """Fused native inflate + bit-pack (the decode-prep fast path).
 
     The numpy route (restack-transpose per factor, concat, int64 widen,
@@ -219,14 +256,51 @@ def _inflate_pack_native(per_factor, metadata, b: int):
             return None
         raws.append(raw)  # (B * R, M) fiber-major
         shapes.append((raw.shape[1], r))  # (M, R)
-    packed = _native.pack_values(
-        raws,
-        b,
-        [m for m, _ in shapes],
-        [r for _, r in shapes],
-        lo,
-        bits,
-    )
+    ms = [m for m, _ in shapes]
+    rs = [r for _, r in shapes]
+    if single_device and _DECODE_TRANSPORT() == "dpack":
+        # dpack transport: delta + static-Huffman, ~3 bits/value on the
+        # wire vs the flat pack's 5 (the decode mirror of the encode-side
+        # entropy transport). One flat upload buffer with static offsets:
+        # [per-chunk row counts (u8, word-packed) | main | continuation
+        # rows]; the device undoes it chunk-parallel
+        # (`ops.entropy.unpack_chunks_device`). Falls through to the flat
+        # pack on budget overflow or out-of-alphabet deltas (iters=0
+        # streams). Single-device meshes only: the chunk stream interleaves
+        # images, so it has no batch axis to shard. NOT the default:
+        # interleaved A/B on the tunnel-attached v5e measured it at parity
+        # with the flat pack (median 569 vs 565 Mpix/s over 5 rounds - the
+        # 2.0 -> 1.22 MB wire saving is offset by the ~12 ms host encode
+        # and the device decode scan); it wins when the host->device link
+        # is the binding constraint (slower links, larger batches), so it
+        # ships opt-in via LRF_TPU_DECODE_TRANSPORT=dpack.
+        from lrf_tpu.ops import entropy as _entropy
+
+        c_total = sum(
+            b * (-(-m * r // _entropy.CHUNK)) for m, r in zip(ms, rs)
+        )
+        budget = _entropy.default_exc_rows(c_total)
+        out = _native.dpack_encode(
+            raws, b, ms, rs, _entropy.LENS, _entropy.CODES,
+            _entropy.CHUNK, _entropy.MAIN_WORDS, _entropy.ROW_WORDS, budget,
+        )
+        if out is not None:
+            main, exc, chunk_rows, _n_rows = out
+            rows_words = -(-c_total // 4)
+            rows_u8 = np.zeros(rows_words * 4, np.uint8)
+            rows_u8[:c_total] = chunk_rows
+            upload = np.concatenate(
+                [rows_u8.view(np.uint32), main, exc]
+            )
+            _PACK_DECISIONS.setdefault(config_key, True)
+            return (
+                upload,
+                metadata,
+                tuple(shapes),
+                "int8",
+                ("dpack", b, budget),
+            )
+    packed = _native.pack_values(raws, b, ms, rs, lo, bits)
     if packed is None:  # out-of-bounds value: unpacked fallback (slow path)
         _PACK_DECISIONS.setdefault(config_key, False)
         return None
@@ -273,8 +347,9 @@ def sharded_qmf_decode_batches(
     assert out in ("host", "device")
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = None
+        single = mesh.devices.size == 1
         for streams in stream_batches:
-            fut = pool.submit(_inflate_streams, streams)
+            fut = pool.submit(_inflate_streams, streams, single)
             if pending is not None:
                 yield _device_decode(*pending.result(), mesh, out)
             pending = fut

@@ -154,3 +154,115 @@ class TestRoundTrip:
         seg_base, main, exc = _pack([worst], max_exc_rows=4)
         assert int(seg_base[-1]) > 4
         assert exc.size == 4 * E.ROW_WORDS
+
+
+class TestDpackDecodeTransport:
+    """Decode-direction entropy transport: C++ host encoder
+    (fibercodec.cpp::lrf_dpack_encode) + chunk-parallel device decoder
+    (ops.E.unpack_chunks_device)."""
+
+    def _factors(self, rng, shapes, lo=-16, hi=15):
+        return [
+            np.clip(
+                np.cumsum(rng.integers(-2, 3, s), axis=1), lo, hi
+            ).astype(np.int8)
+            for s in shapes
+        ]
+
+    def test_cpp_encoder_matches_device_packer(self):
+        from lrf_tpu.native import fibercodec as native
+
+        if not native.available() or not hasattr(
+            native._load(), "lrf_dpack_encode"
+        ):
+            pytest.skip("native dpack encoder not built")
+        rng = np.random.default_rng(11)
+        shapes = [(3, 200, 5), (3, 60, 2)]
+        factors = self._factors(rng, shapes)
+        raws = [
+            np.ascontiguousarray(f.transpose(0, 2, 1)).reshape(-1, f.shape[1])
+            for f in factors
+        ]
+        budget = E.default_exc_rows(
+            sum(b * (-(-m * r // E.CHUNK)) for b, m, r in shapes)
+        )
+        out = native.dpack_encode(
+            raws, 3, [m for _, m, _ in shapes], [r for *_, r in shapes],
+            E.LENS, E.CODES, E.CHUNK,
+            E.MAIN_WORDS, E.ROW_WORDS, budget,
+        )
+        assert out is not None
+        main, exc, chunk_rows, n_rows = out
+        _, main_j, exc_j = E.pack_segments(
+            [jnp.asarray(f, jnp.int32) for f in factors], max_exc_rows=budget
+        )
+        np.testing.assert_array_equal(main, np.asarray(main_j))
+        np.testing.assert_array_equal(exc, np.asarray(exc_j))
+
+    def test_device_decoder_round_trip(self):
+        from lrf_tpu.native import fibercodec as native
+
+        if not native.available() or not hasattr(
+            native._load(), "lrf_dpack_encode"
+        ):
+            pytest.skip("native dpack encoder not built")
+        rng = np.random.default_rng(12)
+        # incl. an adversarial extreme-delta factor (max continuation rows)
+        shapes = [(2, 300, 6), (2, 100, 4)]
+        factors = self._factors(rng, shapes[:1])
+        factors.append(
+            np.where(rng.random(shapes[1]) < 0.5, -16, 15).astype(np.int8)
+        )
+        raws = [
+            np.ascontiguousarray(f.transpose(0, 2, 1)).reshape(-1, f.shape[1])
+            for f in factors
+        ]
+        budget = E.MAX_ROWS * sum(
+            b * (-(-m * r // E.CHUNK)) for b, m, r in shapes
+        )
+        main, exc, chunk_rows, n_rows = native.dpack_encode(
+            raws, 2, [m for _, m, _ in shapes], [r for *_, r in shapes],
+            E.LENS, E.CODES, E.CHUNK,
+            E.MAIN_WORDS, E.ROW_WORDS, budget,
+        )
+        vals = E.unpack_chunks_device(
+            jnp.asarray(chunk_rows), jnp.asarray(main), jnp.asarray(exc),
+            shapes,
+        )
+        for f, v in zip(factors, vals):
+            np.testing.assert_array_equal(np.asarray(v), f.astype(np.int32))
+
+    def test_dpack_decode_end_to_end(self, monkeypatch):
+        import jax
+
+        from lrf_tpu.models.qmf import qmf_decode, qmf_encode
+        from lrf_tpu.native import fibercodec as native
+        from lrf_tpu.parallel import decode as dec
+        from lrf_tpu.parallel.encode import sharded_qmf_encode_batch
+        from lrf_tpu.parallel.mesh import make_mesh
+
+        if not native.available() or not hasattr(
+            native._load(), "lrf_dpack_encode"
+        ):
+            pytest.skip("native dpack encoder not built")
+        monkeypatch.setenv("LRF_TPU_DECODE_TRANSPORT", "dpack")
+        rng = np.random.default_rng(13)
+        # smooth-ish images: pure noise overflows the continuation-row
+        # budget, which (correctly) falls back to the flat pack and would
+        # skip the path under test
+        yy, xx = np.mgrid[:48, :64]
+        base = (yy * 2 + xx + rng.integers(0, 8, (48, 64))) % 256
+        batch = np.stack(
+            [np.stack([np.roll(base, i + c, axis=1) for c in range(3)])
+             for i in range(4)]
+        ).astype(np.uint8)
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        streams = sharded_qmf_encode_batch(batch, mesh, quality=20, num_iters=2)
+        dec._PACK_DECISIONS.clear()
+        inflated = dec._inflate_streams(streams, True)
+        assert inflated[4][0] == "dpack"
+        imgs = dec.sharded_qmf_decode_batch(streams, mesh)
+        for i in (0, 3):
+            np.testing.assert_array_equal(
+                imgs[i], np.asarray(qmf_decode(streams[i]))
+            )
