@@ -85,11 +85,12 @@ def svd_init_shared(
 ):
     """`svd_init` for several same-N patch stacks sharing ONE batched eigh.
 
-    The TPU eigh's cost is schedule-dominated, not batch-dominated
-    (`lrf_tpu.ops.svd.shared_truncated_svd`), so the encoder initializes
-    every channel's factorization from a single eigh over the concatenated
-    (N, N) Gram batch. Per-stack results match per-stack `svd_init`
-    (pinned by tests). Returns a list of `(u, v, w)` triples.
+    The encoder initializes every channel's factorization from a single
+    eigh over the concatenated (N, N) Gram batch
+    (`lrf_tpu.ops.svd.shared_truncated_svd`; time-neutral — the TPU eigh
+    is batch-linear — but structurally one init for the whole program).
+    Per-stack results match per-stack `svd_init` exactly (pinned by
+    tests). Returns a list of `(u, v, w)` triples.
     """
     import math as _math
 

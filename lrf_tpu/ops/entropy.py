@@ -384,7 +384,7 @@ def unpack_chunks_device(rows_u8, main, exc, shapes):
     import jax
     import jax.numpy as jnp
 
-    _, chunks_per_seg, bounds = segment_layout(shapes)
+    _, _, bounds = segment_layout(shapes)
     c_total = bounds[-1]
     max_len = int(LENS.max())
     w_total = MAIN_WORDS + ROW_WORDS * MAX_ROWS

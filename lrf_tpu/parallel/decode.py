@@ -5,8 +5,10 @@ decodes strictly one image per call — `lrf/compression/qmf.py:295`). A batch
 of homogeneous QMF streams (same config and image size, e.g. produced by
 `sharded_qmf_encode_batch`) is decoded by ONE jitted program over a mesh:
 
-- host side, all B streams' fiber blobs inflate in a single native
-  thread-pooled zlib call per factor (`decode_matrix_batch`);
+- host side, all B streams' fiber blobs inflate AND bit-pack for the
+  upload in fused native thread-pooled passes (`_inflate_pack_native`;
+  numpy fallback via `decode_matrix_batch`), with an opt-in
+  delta+Huffman H2D transport (`LRF_TPU_DECODE_TRANSPORT=dpack`);
 - device side, the reconstruction pipeline (U @ V^T per channel, depatchify,
   unpad, nearest chroma upsample, YCbCr->RGB, clamp-cast) runs batched and
   sharded over ``data``, so decode scales across chips like encode.
@@ -43,7 +45,7 @@ __all__ = ["sharded_qmf_decode_batch", "sharded_qmf_decode_batches"]
 _PACK_DECISIONS: dict = {}
 
 
-def _DECODE_TRANSPORT() -> str:
+def _decode_transport() -> str:
     """H2D factor transport: "flat" (5-bit pack, default) or "dpack"
     (delta+Huffman entropy upload — see _inflate_pack_native)."""
     import os
@@ -258,7 +260,7 @@ def _inflate_pack_native(per_factor, metadata, b: int, single_device: bool):
         shapes.append((raw.shape[1], r))  # (M, R)
     ms = [m for m, _ in shapes]
     rs = [r for _, r in shapes]
-    if single_device and _DECODE_TRANSPORT() == "dpack":
+    if single_device and _decode_transport() == "dpack":
         # dpack transport: delta + static-Huffman, ~3 bits/value on the
         # wire vs the flat pack's 5 (the decode mirror of the encode-side
         # entropy transport). One flat upload buffer with static offsets:
