@@ -127,3 +127,26 @@ def test_compiled_kernel_matches_xla_on_tpu():
     loss_p = float(qmf_loss(x, up, vp))
     loss_j = float(qmf_loss(x, uj, vj))
     assert abs(loss_p - loss_j) / loss_j < 0.02, (loss_p, loss_j)
+
+
+def test_variant_dispatch_and_equivalence():
+    # Both kernel generations must satisfy the same contract: the group
+    # kernel (small/medium M) and the legacy per-image kernel (large M,
+    # auto-dispatched at M >= 16384) produce equivalent-quality factors
+    # on the same inputs, and the variant override forces either.
+    from lrf_tpu.ops.bcd import qmf_loss
+
+    x = jnp.asarray(RNG.integers(0, 256, (2, 640, 64)).astype(np.float32))
+    u0, v0, _ = svd_init(x, 5, bounds=(-16, 15))
+    ug, vg = bcd_pallas(
+        x, u0, v0, num_iters=3, bounds=(-16, 15), interpret=True,
+        variant="group",
+    )
+    ul, vl = bcd_pallas(
+        x, u0, v0, num_iters=3, bounds=(-16, 15), interpret=True,
+        variant="legacy",
+    )
+    loss_g = float(qmf_loss(x, ug, vg).mean())
+    loss_l = float(qmf_loss(x, ul, vl).mean())
+    assert abs(loss_g - loss_l) < 2e-3, (loss_g, loss_l)
+    assert float((np.asarray(ug) == np.asarray(ul)).mean()) > 0.9
