@@ -135,8 +135,10 @@ def probe_tunnel(jax, jnp, rounds=3):
             jax.random.PRNGKey(seed), (n,), 0, 255, jnp.uint32
         )
 
-    mb = 3
-    n = mb * 1024 * 256  # uint32 words
+    n = 3 * 1024 * 256  # uint32 words (3 MiB of bytes)
+    mb = n * 4 / 1e6  # report in the same 1e6-byte MB the guard's
+    # achieved-rate arithmetic uses (a MiB-based probe overstated the
+    # achieved/probe ratio by ~4.9%, softening the weather guard)
     chunk = 256 * 1024 // 4
     gen(0, n).block_until_ready()  # compile once
     d2h = 0.0

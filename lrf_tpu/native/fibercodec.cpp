@@ -395,6 +395,11 @@ int lrf_dpack_encode(const int8_t* const* factor_bufs, int64_t n_factors,
                      uint8_t* chunk_rows_out, int64_t* n_rows_out) {
   const int64_t main_bits = main_words * 32;
   const int64_t row_bits = row_words * 32;
+  int64_t max_len = 0;
+  for (int64_t s = 0; s < alphabet; ++s)
+    if (lens[s] > max_len) max_len = lens[s];
+  // chunk_rows_out is uint8: the worst-case rows/chunk must fit
+  if ((chunk * max_len - main_bits + row_bits - 1) / row_bits > 255) return 3;
   std::vector<int> seg_bad;
   // segment table: (factor, image) -> first chunk id
   std::vector<int64_t> seg_factor, seg_image, seg_chunk0;
@@ -469,9 +474,13 @@ int lrf_dpack_encode(const int8_t* const* factor_bufs, int64_t n_factors,
     const int8_t* buf = factor_bufs[k] + bi * r * m;
     std::vector<int32_t> run(static_cast<size_t>(r), 0);
     int64_t cid = seg_chunk0[static_cast<size_t>(si)];
-    // chunk register: worst case chunk * max_len bits
-    std::vector<uint32_t> reg(static_cast<size_t>(main_words) +
-                              12 * static_cast<size_t>(chunk) / 32 + 2);
+    // chunk register: worst case chunk * max_len bits (max_len from
+    // the PASSED code table — a hardcoded cap would heap-overflow on
+    // longer codes)
+    std::vector<uint32_t> reg(
+        static_cast<size_t>(main_words) +
+        (static_cast<size_t>(chunk) * static_cast<size_t>(max_len) + 31) / 32 +
+        2);
     std::fill(reg.begin(), reg.end(), 0u);
     int64_t bitpos = 0, in_chunk = 0, mi = 0, ri = 0;
     const int64_t padded = ((per + chunk - 1) / chunk) * chunk;

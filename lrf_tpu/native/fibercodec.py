@@ -274,28 +274,9 @@ def decompress_fibers(
     blobs: Sequence[bytes], dtype: np.dtype, mode: str
 ) -> Optional[np.ndarray]:
     """Inverse of `compress_fibers`, restacking to the 2-D array. None if no lib."""
-    lib = _load()
-    if lib is None or len(blobs) == 0:
+    fibers = decompress_fibers_raw(blobs, dtype)
+    if fibers is None:
         return None
-    blob_lens = np.asarray([len(b) for b in blobs], dtype=np.int64)
-    joined = b"".join(blobs)
-    num_fibers = len(blobs)
-    # All fibers in a matrix have equal length; decode first to learn it.
-    import zlib as _zlib
-
-    first = np.frombuffer(_zlib.decompress(blobs[0]), dtype=dtype)
-    fiber_bytes = first.nbytes
-    out = np.empty(num_fibers * fiber_bytes, dtype=np.uint8)
-    rc = lib.lrf_decompress_fibers(
-        joined,
-        blob_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        num_fibers,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        fiber_bytes,
-    )
-    if rc != 0:
-        return None
-    fibers = out.view(dtype).reshape(num_fibers, -1)
     return fibers.T.copy() if mode == "col" else fibers.copy()
 
 

@@ -92,8 +92,6 @@ def svd_init_shared(
     Per-stack results match per-stack `svd_init` exactly (pinned by
     tests). Returns a list of `(u, v, w)` triples.
     """
-    import math as _math
-
     from lrf_tpu.ops.svd import shared_truncated_svd
 
     r_effs = [

@@ -78,7 +78,7 @@ _S = 8  # fixed rank-row stride (Mosaic dynamic sublane starts must be 8-aligned
 # VMEM working-set budget per kernel instance. XLA's default *scoped* VMEM
 # limit is 16 MiB, but the v5e's physical VMEM is far larger (a 120 MiB
 # scratch allocation compiles and runs — probed on the chip); the kernel
-# raises the scoped limit via compiler_params and budgets 90 MiB so whole
+# raises the scoped limit via compiler_params and budgets 75 MiB so whole
 # Kodak/CLIC patch-stack groups stay VMEM-resident across all sweeps.
 _VMEM_BUDGET = 75 * 1024 * 1024
 _VMEM_LIMIT = 112 * 1024 * 1024

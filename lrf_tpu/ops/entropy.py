@@ -340,17 +340,15 @@ def _inverse_steps():
     count)] per distinct code length. With canonical monotone codes, an
     L-bit MSB-read prefix `c` is a complete code iff
     `start_L <= c < start_L + count_L` — and prefix-freeness guarantees
-    exactly one length matches even when lookahead bits are garbage."""
+    exactly one length matches even when lookahead bits are garbage.
+    The canonical MSB code sequence is reconstructed from the staircase
+    offset table so encoder and decoder share one code-assignment
+    convention (`_monotone_table`): code_msb(zz) = zz + off(zz)."""
+    offs = np.zeros(len(LENS), dtype=np.int64)
+    for b, d in _OFF_STEPS:
+        offs[b:] += d
+    codes_msb = [int(s + offs[s]) for s in range(len(LENS))]
     steps = []
-    codes_msb = []
-    code = 0
-    prev = int(LENS[0])
-    for s in range(len(LENS)):
-        L = int(LENS[s])
-        code <<= L - prev
-        codes_msb.append(code)
-        code += 1
-        prev = L
     s = 0
     while s < len(LENS):
         L = int(LENS[s])
@@ -386,7 +384,6 @@ def unpack_chunks_device(rows_u8, main, exc, shapes):
 
     _, _, bounds = segment_layout(shapes)
     c_total = bounds[-1]
-    max_len = int(LENS.max())
     w_total = MAIN_WORDS + ROW_WORDS * MAX_ROWS
 
     rows = rows_u8.astype(jnp.int32)

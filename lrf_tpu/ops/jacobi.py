@@ -82,7 +82,13 @@ def jacobi_eigh(g: jnp.ndarray, sweeps: int = 10):
             jnp.abs(app) + jnp.abs(aqq), 1e-30
         )
         tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        # sign(tau) with sign(0) := +1 — jnp.sign(0) = 0 would zero the
+        # rotation exactly when app == aqq, where the classic formula
+        # needs the full 45-degree rotation (equal-diagonal pairs would
+        # otherwise never be annihilated; verified failure on
+        # [[1, .5], [.5, 1]])
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(small, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)  # (B, n/2)
         s = t * c

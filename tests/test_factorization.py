@@ -233,3 +233,22 @@ class TestQMF:
         assert float(jnp.abs(orth).max()) < 1e-3
         resid = jnp.einsum("bij,bjk->bik", g, V) - V * ev[:, None, :]
         assert float(jnp.linalg.norm(resid, axis=(1, 2)).max()) < 1e-4 * scale
+
+    def test_jacobi_eigh_equal_diagonal_pairs(self):
+        # Regression: jnp.sign(0) = 0 used to zero the rotation exactly
+        # when a pivot pair's diagonal entries are equal (tau = 0), where
+        # the classic formula needs the full 45-degree rotation — equal-
+        # diagonal 2x2 blocks were never annihilated.
+        from lrf_tpu.ops.jacobi import jacobi_eigh
+
+        g = jnp.asarray([[[1.0, 0.5], [0.5, 1.0]]], jnp.float32)
+        ev, V = jacobi_eigh(g, sweeps=4)
+        np.testing.assert_allclose(np.asarray(ev)[0], [0.5, 1.5], atol=1e-6)
+        g4 = jnp.asarray(
+            [[[2.0, 0.7, 0.0, 0.0], [0.7, 2.0, 0.0, 0.0],
+              [0.0, 0.0, 2.0, 0.3], [0.0, 0.0, 0.3, 2.0]]], jnp.float32
+        )
+        ev4, _ = jacobi_eigh(g4, sweeps=6)
+        np.testing.assert_allclose(
+            np.asarray(ev4)[0], [1.3, 1.7, 2.3, 2.7], atol=1e-5
+        )
