@@ -478,17 +478,23 @@ def _attempt_clean(r: dict) -> bool:
 
 
 def _confirmed_record(results: list) -> dict | None:
-    """The record of record, if the last two attempts confirm each other.
+    """The record of record, if the last two CLEAN attempts confirm each
+    other.
 
-    Two consecutive CLEAN attempts agreeing within AGREE_TOL on delivered
+    Two independent clean attempts agreeing within AGREE_TOL on delivered
     Mpixel/s confirm the measurement; the better of the pair is published
-    with `confirmed: true` and the full attempt history.
+    with `confirmed: true` and the full attempt history. Attempts that
+    fired a retry condition (no plateau / weather-limited) are discarded
+    as measurements — they sit between the clean pair without resetting
+    it (observed: 400.2 / [two weather-flagged retries] / 400.9 is a
+    0.2%-agreeing pair the strictly-consecutive rule rejected).
     """
-    if len(results) < 2:
+    clean = [r for r in results if _attempt_clean(r)]
+    if len(clean) < 2 or not _attempt_clean(results[-1]):
         return None
-    a, b = results[-2], results[-1]
+    a, b = clean[-2], clean[-1]
     agree = abs(a["value"] - b["value"]) <= AGREE_TOL * max(a["value"], b["value"])
-    if not (agree and _attempt_clean(a) and _attempt_clean(b)):
+    if not agree:
         return None
     best = dict(a if a["value"] >= b["value"] else b)
     best["confirmed"] = True

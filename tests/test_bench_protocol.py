@@ -79,7 +79,8 @@ def _rec(value, **flags):
 class TestSupervisorAgreement:
     """Round-3 lesson: the delivered headline swung 206->355 Mpixel/s
     run-to-run with `plateaued: true` on both. The supervisor now requires
-    two consecutive clean attempts agreeing within 15%, and retries
+    the last two CLEAN attempts to agree within 15% (retried attempts are
+    discarded as measurements, not allowed to reset the pair), and retries
     weather-limited or non-plateaued attempts like failures."""
 
     def test_clean_requires_both_plateaus_and_fair_weather(self):
@@ -144,3 +145,27 @@ class TestSupervisorAgreement:
             [_rec(220, plateaued=False), _rec(260, decode_plateaued=False)]
         )
         assert not out["confirmed"] and out["value"] == 260
+
+    def test_retried_attempts_do_not_reset_the_clean_pair(self):
+        # 400.2 / weather-flagged / no-plateau / 400.9: the two clean
+        # attempts agree within 0.2% — retried attempts are discarded as
+        # measurements, not allowed to break the pair.
+        out = _confirmed_record(
+            [
+                _rec(400.2),
+                _rec(318.3, weather_limited=True),
+                _rec(339.4, plateaued=False),
+                _rec(400.9),
+            ]
+        )
+        assert out is not None and out["confirmed"]
+        assert out["value"] == 400.9
+        assert out["attempts"] == [400.2, 318.3, 339.4, 400.9]
+
+    def test_no_confirmation_when_last_attempt_is_dirty(self):
+        # the pair must END on a clean attempt: a trailing dirty attempt
+        # means current conditions are unverified
+        assert (
+            _confirmed_record([_rec(400), _rec(401), _rec(200, plateaued=False)])
+            is None
+        )
