@@ -266,3 +266,71 @@ class TestDpackDecodeTransport:
             np.testing.assert_array_equal(
                 imgs[i], np.asarray(qmf_decode(streams[i]))
             )
+
+
+class TestAdaptiveExcBudget:
+    """The continuation-row budget hint: grows on overflow/near-budget,
+    shrinks to a rolling p99 (quantized, >=10% saving only — no
+    recompile churn), and overrides the static default in both
+    directions when building the encoder."""
+
+    def _spec(self, budget, key=(("probe", 1),)):
+        return {"exc_budget": budget, "shapes": key}
+
+    def setup_method(self):
+        from lrf_tpu.parallel import encode as enc
+
+        enc._EXC_ROWS_HINT.clear()
+        enc._EXC_ROWS_OBS.clear()
+
+    def test_overflow_grows_with_headroom(self):
+        from lrf_tpu.parallel import encode as enc
+
+        key = (("g", 1),)
+        enc._observe_entropy_rows(self._spec(1000, key), 1500, True)
+        assert enc._EXC_ROWS_HINT[key] == 1500 + (1500 >> 2) + 64
+
+    def test_shrink_waits_for_history_then_quantizes(self):
+        from lrf_tpu.parallel import encode as enc
+
+        key = (("s", 1),)
+        for i in range(enc._SHRINK_MIN_OBS - 1):
+            enc._observe_entropy_rows(self._spec(60000, key), 30000 + i, False)
+        assert key not in enc._EXC_ROWS_HINT  # not enough observations yet
+        enc._observe_entropy_rows(self._spec(60000, key), 30007, False)
+        hint = enc._EXC_ROWS_HINT[key]
+        assert hint % 1024 == 0 and hint < 60000
+        assert hint >= int(30007 * enc._SHRINK_MARGIN)
+        # stable usage must not churn the hint (same quantized target)
+        for i in range(8):
+            enc._observe_entropy_rows(self._spec(hint, key), 30000 + i, False)
+        assert enc.ENTROPY_STATS["budget_shrinks"] >= 1
+        assert enc._EXC_ROWS_HINT[key] == hint
+
+    def test_small_saving_not_adopted(self):
+        from lrf_tpu.parallel import encode as enc
+
+        key = (("t", 1),)
+        # usage ~97% of budget: the <10%-saving shrink must not trigger
+        # (and near-budget growth only fires within 5%)
+        for i in range(enc._SHRINK_MIN_OBS + 2):
+            enc._observe_entropy_rows(self._spec(40960, key), 38000 + i, False)
+        assert key not in enc._EXC_ROWS_HINT
+
+    def test_hint_overrides_static_default_both_directions(self):
+        import jax
+
+        from lrf_tpu.parallel import encode as enc
+        from lrf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        _, _, spec = enc.build_sharded_encoder(
+            mesh, (48, 64), quality=20, batch=4, pack="entropy"
+        )
+        default = spec["exc_budget"]
+        for hint in (default // 2, default * 2):
+            enc._EXC_ROWS_HINT[spec["shapes"]] = hint
+            _, _, spec2 = enc.build_sharded_encoder(
+                mesh, (48, 64), quality=20, batch=4, pack="entropy"
+            )
+            assert spec2["exc_budget"] == hint
