@@ -101,16 +101,19 @@ def _cmd_info(args: argparse.Namespace) -> int:
     with open(args.input, "rb") as f:
         stream = f.read()
     codec, metadata = _detect_codec(stream)
-    # "original size" is per-channel [[H,W], ...] under YCbCr (Y first) and a
-    # flat [H,W] in the no-color-transform path (`lrf/compression/qmf.py:254`).
-    size = metadata["original size"]
-    h, w = size[0] if isinstance(size[0], (list, tuple)) else size
+    # "original size" is per-channel [[H,W], ...] under YCbCr (Y first), a
+    # flat [H,W] in the no-color-transform patch path, and ABSENT in the
+    # no-patch branches (`lrf/compression/qmf.py:205` writes no size there)
+    # — bpp then needs a decode to know the pixel count.
+    size = metadata.get("original size")
+    info = {"codec": codec, "bytes": len(stream)}
+    if size is not None:
+        h, w = size[0] if isinstance(size[0], (list, tuple)) else size
+        info["bit rate (bpp)"] = round(8 * len(stream) / (h * w), 4)
     print(
         json.dumps(
             {
-                "codec": codec,
-                "bytes": len(stream),
-                "bit rate (bpp)": round(8 * len(stream) / (h * w), 4),
+                **info,
                 **metadata,
             },
             indent=2,

@@ -85,7 +85,7 @@ def _load():
     #                      int64_t* out_lens)
     lib.lrf_compress_fibers2.restype = ctypes.c_int
     lib.lrf_compress_fibers2.argtypes = [
-        ctypes.c_char_p,
+        ctypes.c_void_p,  # raw fiber block (numpy pointer, no bytes copy)
         ctypes.c_int64,
         ctypes.c_int64,
         ctypes.c_int,
@@ -114,8 +114,8 @@ def _load():
     try:
         lib.lrf_dpack_decode_segments.restype = ctypes.c_int
         lib.lrf_dpack_decode_segments.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_char_p,
+            ctypes.c_void_p,  # main stream (numpy pointer)
+            ctypes.c_void_p,  # continuation rows (numpy pointer)
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
@@ -204,7 +204,10 @@ def compress_fibers(
     out = np.empty(num_fibers * cap, dtype=np.uint8)
     out_lens = np.empty(num_fibers, dtype=np.int64)
     rc = lib.lrf_compress_fibers2(
-        fibers_arr.tobytes(),
+        # pass the array's own buffer: .tobytes() duplicated every factor
+        # block per call on the serializer hot path (the 2-core host is
+        # the pipeline bound)
+        fibers_arr.ctypes.data_as(ctypes.c_void_p),
         num_fibers,
         fiber_bytes,
         level,
@@ -249,8 +252,8 @@ def dpack_decode_segments(
     codes32 = np.ascontiguousarray(codes, dtype=np.uint32)
     out = np.empty(int(seg_values64.sum()), np.int8)
     rc = lib.lrf_dpack_decode_segments(
-        main_b.tobytes(),
-        exc_b.tobytes(),
+        main_b.ctypes.data_as(ctypes.c_void_p),
+        exc_b.ctypes.data_as(ctypes.c_void_p),
         n_exc_rows,
         seg_base64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         seg_values64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

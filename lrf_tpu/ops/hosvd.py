@@ -21,21 +21,17 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from lrf_tpu.ops.common import prod
+
 from lrf_tpu.ops.svd import truncated_svd
 
-
-def _prod(xs) -> int:
-    out = 1
-    for x in xs:
-        out *= x
-    return out
 
 
 def hosvd_rank_upper_bounds(size: Sequence[int]) -> tuple[int, ...]:
     """Per-mode rank upper bounds (`factorization/hosvd.py:11`)."""
     bounds = []
     for i, s in enumerate(size):
-        other = _prod(s for j, s in enumerate(size) if j != i)
+        other = prod(s for j, s in enumerate(size) if j != i)
         bounds.append(min(s, other))
     return tuple(bounds)
 
@@ -57,7 +53,7 @@ def hosvd_rank_feasible_ranges(
 
     upper = [r if r else u for r, u in zip(ranks, hosvd_rank_upper_bounds(size))]
     lower = [r if r else 1 for r in ranks]
-    target_storage = _prod(size) / com_ratio
+    target_storage = prod(size) / com_ratio
 
     out = []
     for i in range(n):
@@ -65,10 +61,10 @@ def hosvd_rank_feasible_ranges(
             out.append((ranks[i], ranks[i]))
             continue
         storage_max_others = sum(upper[j] * size[j] for j in range(n) if j != i)
-        prod_max_others = _prod(upper[j] for j in range(n) if j != i)
+        prod_max_others = prod(upper[j] for j in range(n) if j != i)
         lo = max(1, int((target_storage - storage_max_others) / (size[i] + prod_max_others)))
         storage_min_others = sum(lower[j] * size[j] for j in range(n) if j != i)
-        prod_min_others = _prod(lower[j] for j in range(n) if j != i)
+        prod_min_others = prod(lower[j] for j in range(n) if j != i)
         hi = min(
             upper[i],
             int((target_storage - storage_min_others) / (size[i] + prod_min_others)),

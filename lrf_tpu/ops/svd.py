@@ -69,9 +69,9 @@ def truncated_svd(x: jnp.ndarray, rank: int, method: str = "gram"):
         evals, evecs = _gram_eig(g, method)  # ascending
         return _factors_from_gram_eigh(x, evals, evecs, r)
     else:
-        # Gram on the short (row) side: G = X X^T, eigh, V = X^T U / s.
+        # Gram on the short (row) side: G = X X^T, eig, V = X^T U / s.
         g = jnp.einsum("...ik,...jk->...ij", x, x, preferred_element_type=jnp.float32)
-        evals, evecs = jnp.linalg.eigh(g)
+        evals, evecs = _gram_eig(g, method)
         evals = jnp.flip(evals, axis=-1)[..., :r]
         u = jnp.flip(evecs, axis=-1)[..., :, :r]
         s = jnp.sqrt(jnp.maximum(evals, 0.0))

@@ -15,12 +15,8 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from lrf_tpu.ops.common import prod
 
-def _prod(xs) -> int:
-    out = 1
-    for x in xs:
-        out *= x
-    return out
 
 
 def tt_rank_upper_bounds(size: Sequence[int]) -> list[int]:
@@ -28,8 +24,8 @@ def tt_rank_upper_bounds(size: Sequence[int]) -> list[int]:
     nd = len(size)
     bounds = []
     for i in range(1, nd):
-        left = _prod(size[:i])
-        right = _prod(size[i:])
+        left = prod(size[:i])
+        right = prod(size[i:])
         bounds.append(min(left, right))
     return bounds
 
@@ -37,7 +33,7 @@ def tt_rank_upper_bounds(size: Sequence[int]) -> list[int]:
 def tt_rank_feasible_ranges(size: Sequence[int], com_ratio: float):
     """Feasible TT-rank ranges for a target CR (`factorization/tt.py:44`)."""
     upper = [1, *tt_rank_upper_bounds(size), 1]
-    target_storage = _prod(size) / com_ratio
+    target_storage = prod(size) / com_ratio
     out = []
     for i in range(1, len(upper) - 1):
         storage_max_others = sum(

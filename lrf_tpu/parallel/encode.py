@@ -430,6 +430,9 @@ def build_sharded_encoder(
     alphabet), else "flat". All modes produce byte-identical streams.
     """
     size = tuple(image_size)
+    assert rank is not None or quality is not None, (
+        "Either 'rank' or 'quality' must be specified."
+    )
     if not isinstance(rank, Iterable):
         rank = (None,) * 3 if rank is None else (rank, max(rank // 2, 1), max(rank // 2, 1))
     if not isinstance(quality, Iterable):

@@ -33,22 +33,31 @@ __all__ = [
 
 
 def mae(x, y):
-    """Mean absolute error over the last three dims (`utils/metrics.py:10`)."""
-    x, y = jnp.asarray(x), jnp.asarray(y)
+    """Mean absolute error over the last three dims (`utils/metrics.py:10`).
+
+    Inputs cast to float32: integer subtraction would wrap modulo the
+    dtype (a -1 pixel difference on uint8 reads as 255). The reference
+    refuses integer tensors outright; accepting-and-casting keeps the
+    uint8 codec outputs directly usable."""
+    x = jnp.asarray(x).astype(jnp.float32)
+    y = jnp.asarray(y).astype(jnp.float32)
     return jnp.mean(jnp.abs(x - y), axis=(-3, -2, -1))
 
 
 def mse(x, y):
-    """Mean squared error over the last three dims (`utils/metrics.py:24`)."""
-    x, y = jnp.asarray(x), jnp.asarray(y)
+    """Mean squared error over the last three dims (`utils/metrics.py:24`).
+    Float32-cast like `mae` (integer inputs would wrap)."""
+    x = jnp.asarray(x).astype(jnp.float32)
+    y = jnp.asarray(y).astype(jnp.float32)
     return jnp.mean((x - y) ** 2, axis=(-3, -2, -1))
 
 
 def relative_error(x, y, epsilon: float = 1e-16):
     """Relative L2 error over the last three dims (`utils/metrics.py:38`)."""
-    x, y = jnp.asarray(x), jnp.asarray(y)
+    x = jnp.asarray(x).astype(jnp.float32)
+    y = jnp.asarray(y).astype(jnp.float32)
     num = jnp.sqrt(jnp.sum((x - y) ** 2, axis=(-3, -2, -1)))
-    den = jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2, axis=(-3, -2, -1)))
+    den = jnp.sqrt(jnp.sum(x**2, axis=(-3, -2, -1)))
     return num / (den + epsilon)
 
 

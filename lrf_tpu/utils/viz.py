@@ -127,7 +127,7 @@ def vis_image_batch(
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
         fig.savefig(
-            os.path.join(save_dir, f"{prefix}.{format}").lower(),
+            os.path.join(save_dir, f"{prefix}.{format}".lower()),
             bbox_inches="tight",
             pad_inches=0,
         )
