@@ -26,7 +26,11 @@ Measurement protocol (round-2/3 lessons):
   ceilings in-run (same async-chunked pattern as the transport) and the
   record carries the achieved-vs-probed ratio. A run whose transport
   achieves < `WEATHER_FLOOR` of its own probe is flagged
-  `weather_limited` and the supervisor retries it like a non-plateau.
+  `weather_limited` and the supervisor retries it like a non-plateau;
+  and a run whose probe ITSELF sits below half the persisted high-water
+  mark (`probe_high_water`) is flagged `tunnel_degraded` — a collapsed
+  tunnel would otherwise read ~90% achieved/probe while delivering a
+  2x-low number (observed; experiments/bench_repro.json run F).
 - *Stable decomposition*: the JSON record carries the weather-independent
   quantities — device-only Mpixel/s, wire MB/batch, achieved and probed
   tunnel MB/s — alongside the delivered headline, so the reader can
@@ -162,6 +166,44 @@ def probe_tunnel(jax, jnp, rounds=3):
     return d2h, h2d
 
 
+_PROBE_HWM_PATH = "/tmp/lrf_tpu_probe_hwm.json"
+
+
+def probe_high_water(d2h: float, h2d: float) -> tuple[float, float, bool]:
+    """Persist the best tunnel probes seen across runs; flag degradation.
+
+    The relative weather guard (achieved vs own probe) closes the
+    round-3 loophole of a throttled run self-certifying its plateau —
+    but run F showed the loophole reopens one level up when the PROBE
+    itself collapses (1.1-8.4 MB/s during a multi-hour degradation vs
+    17-31 earlier the same day): achieved/probe reads ~90% while the
+    delivered number is 2x low. Anchor against the best probe any run
+    has seen on this host: a probe below half the high-water mark marks
+    the run `tunnel_degraded` and the supervisor treats it as unclean.
+    First-ever runs (no stored mark) are never flagged.
+    """
+    hwm = {"d2h": 0.0, "h2d": 0.0}
+    try:
+        with open(_PROBE_HWM_PATH) as f:
+            hwm.update(json.load(f))
+    except (OSError, json.JSONDecodeError):
+        pass
+    degraded = hwm["d2h"] > 0 and d2h < 0.5 * hwm["d2h"]
+    hwm["d2h"] = max(hwm["d2h"], d2h)
+    hwm["h2d"] = max(hwm["h2d"], h2d)
+    try:
+        with open(_PROBE_HWM_PATH, "w") as f:
+            json.dump(hwm, f)
+    except OSError:
+        pass
+    if degraded:
+        log(
+            f"tunnel DEGRADED: probe {d2h:.1f} MB/s vs high-water "
+            f"{hwm['d2h']:.1f} — run flagged tunnel_degraded"
+        )
+    return hwm["d2h"], hwm["h2d"], degraded
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -207,6 +249,7 @@ def main():
     log(f"one-time H2D upload: {upload_s:.2f}s ({batch.nbytes/1e6:.0f} MB over tunnel)")
 
     d2h_probe, h2d_probe = probe_tunnel(jax, jnp)
+    hwm_d2h, hwm_h2d, tunnel_degraded = probe_high_water(d2h_probe, h2d_probe)
 
     iters = 4  # batches per measurement window
 
@@ -433,6 +476,8 @@ def main():
                 "wire_mb_per_batch": round(wire / 1e6, 3),
                 "achieved_d2h_mb_s": round(achieved_d2h, 1),
                 "tunnel_d2h_probe_mb_s": round(d2h_probe, 1),
+                "tunnel_d2h_high_water_mb_s": round(hwm_d2h, 1),
+                "tunnel_degraded": tunnel_degraded,
                 "weather_limited": weather_limited,
                 # decode is regression-tracked here too: streams -> device-
                 # resident images, batched (reference CPU node: ~148 Mpix/s)
@@ -473,6 +518,7 @@ def _attempt_clean(r: dict) -> bool:
         r.get("plateaued")
         and decode_ok
         and not r.get("weather_limited")
+        and not r.get("tunnel_degraded")
         and not r.get("decode_weather_limited")
     )
 
@@ -573,7 +619,11 @@ def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
             ):
                 if not result.get(k):
                     why.append(f"{k}=false")
-            for k in ("weather_limited", "decode_weather_limited"):
+            for k in (
+                "weather_limited",
+                "decode_weather_limited",
+                "tunnel_degraded",
+            ):
                 if result.get(k):
                     why.append(f"{k}=true")
         if len(results) < 2:

@@ -169,3 +169,32 @@ class TestSupervisorAgreement:
             _confirmed_record([_rec(400), _rec(401), _rec(200, plateaued=False)])
             is None
         )
+
+    def test_collapsed_probe_cannot_self_certify(self):
+        # run-F loophole: when the tunnel probe ITSELF collapses, the
+        # relative achieved/probe guard reads healthy while the delivered
+        # number is 2x low — the high-water anchor flags the run and two
+        # collapse-period attempts must not confirm each other
+        a = _rec(179.1, tunnel_degraded=True)
+        b = _rec(180.5, tunnel_degraded=True)
+        assert not _attempt_clean(a)
+        assert _confirmed_record([a, b]) is None
+
+    def test_probe_high_water_flags_and_persists(self, tmp_path, monkeypatch):
+        import bench
+
+        monkeypatch.setattr(
+            bench, "_PROBE_HWM_PATH", str(tmp_path / "hwm.json")
+        )
+        # first-ever run: never flagged, sets the mark
+        hwm, _, degraded = bench.probe_high_water(20.0, 40.0)
+        assert hwm == 20.0 and not degraded
+        # healthy run raises the mark
+        hwm, _, degraded = bench.probe_high_water(30.0, 44.0)
+        assert hwm == 30.0 and not degraded
+        # collapsed probe (< half the mark) flags; the mark survives
+        hwm, _, degraded = bench.probe_high_water(8.4, 14.0)
+        assert degraded and hwm == 30.0
+        # borderline (>= half) does not flag
+        _, _, degraded = bench.probe_high_water(15.1, 20.0)
+        assert not degraded
