@@ -611,6 +611,10 @@ def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
         if confirmed is not None:
             print(json.dumps(confirmed))
             return 0
+        # interim record after every attempt: if the harness kills this
+        # supervisor mid-retry, the last printed JSON line is still a
+        # valid (flagged) record rather than nothing
+        print(json.dumps(_fallback_record(results)), flush=True)
         why = []
         if not _attempt_clean(result):
             for k in (
@@ -633,7 +637,7 @@ def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
             f"({'; '.join(why) or 'awaiting agreement'}); retrying"
         )
     if results:
-        print(json.dumps(_fallback_record(results)))
+        # the last interim line already carries the final fallback record
         return 0
     log("all bench attempts failed")
     return 1
