@@ -15,9 +15,13 @@ from common import default_argparser, run_over_dataset, sweep_qmf
 def eval_image(image, image_id):
     results = []
     for patch_size, patch in [(4, True), (8, True), (16, True), (32, True), (None, False)]:
-        overrides = {"patch": patch}
-        if patch:
-            overrides["patch_size"] = (patch_size, patch_size)
+        # the no-patch config must RECORD patch_size=None too, or the
+        # groupby merges its rows into the true 8x8 group (the committed
+        # round-3 artifact had exactly that corruption)
+        overrides = {
+            "patch": patch,
+            "patch_size": (patch_size, patch_size) if patch else None,
+        }
         results.extend(sweep_qmf(image, image_id, **overrides))
     return results
 

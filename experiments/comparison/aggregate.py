@@ -60,7 +60,9 @@ def reproduce_published() -> int:
         got = aggregate(rows, bpp, metric)
         for method, exp_val in expected.items():
             ours = got.get(method, float("nan"))
-            tol = 0.01 if metric == "SSIM" else 0.01
+            # published SSIM carries 3 decimals (print-rounding tol 0.0005),
+            # PSNR two (0.005); allow the rounding of BOTH sides
+            tol = 0.001 if metric == "SSIM" else 0.01
             ok = abs(ours - exp_val) <= tol + 1e-9
             failures += not ok
             print(

@@ -25,7 +25,7 @@ def main():
     parser.add_argument("--out_dir", type=str, default="encoded")
     parser.add_argument("--quality", type=float, default=10)
     parser.add_argument("--size", type=int, nargs=2, default=(512, 768),
-                        help="common (H, W) to center-crop/pad images to")
+                        help="common (H, W) to top-left-crop/tile images to")
     parser.add_argument("--multihost", action="store_true")
     args = parser.parse_args()
 
@@ -48,7 +48,11 @@ def main():
         img = read_image(p)
         ch, cw = img.shape[-2:]
         if ch < h or cw < w:
-            img = np.pad(img, ((0, 0), (0, max(0, h - ch)), (0, max(0, w - cw))), mode="reflect")
+            # tile to size: np.pad(mode='reflect') raises when a pad
+            # amount reaches the image dimension (tiny images vs the
+            # common size), tiling never does
+            reps = (1, -(-h // ch), -(-w // cw))
+            img = np.tile(img, reps)
         images.append(img[:, :h, :w])
     images = np.stack(images)
 

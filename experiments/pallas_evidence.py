@@ -159,7 +159,7 @@ def main() -> None:
 
     # ---- shape/rank sweep with the same chained-probe methodology: the
     # auto backend policy (parallel/encode.py) is justified by this table.
-    def make_chain(x, u0, v0, backend, rank, reps=10):
+    def make_chain(x, u0, v0, backend, reps=10):
         if backend == "pallas":
 
             @jax.jit
@@ -214,7 +214,7 @@ def main() -> None:
         )
         n_reps = 10
         chains = {
-            bk: make_chain(xs, u0s, v0s, bk, cr, reps=n_reps)
+            bk: make_chain(xs, u0s, v0s, bk, reps=n_reps)
             for bk in ("xla", "pallas")
         }
         best = {}

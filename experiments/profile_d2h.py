@@ -82,8 +82,12 @@ def main():
                 timeout=150, env=env, capture_output=True, text=True,
             )
             out = p.stdout.strip()
-            log(out if out else f"config {kb}/{win}: rc={p.returncode} "
-                + p.stderr.strip().splitlines()[-1][:200] if p.stderr else "")
+            if out:
+                log(out)
+            else:
+                err_lines = p.stderr.strip().splitlines() if p.stderr else []
+                tail = err_lines[-1][:200] if err_lines else "(no stderr)"
+                log(f"config {kb}/{win}: rc={p.returncode} {tail}")
         except subprocess.TimeoutExpired:
             log(f"config piece={kb} KiB window={win}: HANG (>150s), killed")
             time.sleep(30)  # let the tunnel claim clear

@@ -70,14 +70,26 @@ def main():
         ts.append(time.perf_counter() - t0)
     log(f"encode dispatch+device (block_until_ready): {np.median(ts)*1000:.1f} ms")
 
-    # 2. D2H fetch of the packed buffer, already-computed array
+    # 2. D2H fetch of the packed buffers (the encoder returns a TUPLE of
+    # piece buffers on every pack path so each can start its async copy at
+    # dispatch)
     out = fn(device_batch)
     jax.block_until_ready(out)
-    log(f"packed buffer: {out.size * out.dtype.itemsize} bytes, chunk={os.environ.get('LRF_TPU_FETCH_CHUNK')}")
+    pieces = out if isinstance(out, tuple) else (out,)
+    nbytes = sum(int(p_.size) * p_.dtype.itemsize for p_ in pieces)
+    log(
+        f"packed buffer: {nbytes} bytes in {len(pieces)} pieces, "
+        f"chunk={os.environ.get('LRF_TPU_FETCH_CHUNK')}"
+    )
+    from lrf_tpu.parallel.encode import _fetch_encoded, _start_fetch
+
     ts = []
     for _ in range(N):
+        out = fn(device_batch)
+        _start_fetch(out, pack_spec)
+        jax.block_until_ready(out)
         t0 = time.perf_counter()
-        host_out = to_host(out)
+        host_out = _fetch_encoded(out, pack_spec)
         ts.append(time.perf_counter() - t0)
     log(f"encode D2H fetch: {np.median(ts)*1000:.1f} ms  (all: {[round(t*1000,1) for t in ts]})")
 

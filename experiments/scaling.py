@@ -136,11 +136,26 @@ def main() -> None:
     def project(n_hosts: int, n_images: int):
         t_comp = n_images * img_px / (r1 * n_hosts)
         v_total = n_images * stream_bytes
+        if n_hosts == 1:
+            # allgather_bytes is a no-op at process_count()==1
+            # (parallel/distributed.py): single-host efficiency is 1.0
+            return {
+                "hosts": 1,
+                "t_compute_s": round(t_comp, 4),
+                "t_gather_s_dedicated": 0.0,
+                "efficiency_dedicated": 1.0,
+                "efficiency_oversubscribed_worst_case": 1.0,
+                "agg_mpix_s_dedicated": round(r1 / 1e6, 1),
+            }
         # two alpha models bracket the truth: the linear 2->4 fit counts
         # this 2-core host's CPU oversubscription (4 procs contending for 2
         # cores inflates alpha_4), so it is a hard worst case; constant
-        # alpha_2 models dedicated-core hosts (the production case).
-        t_gather_worst = a2 + alpha_slope * (n_hosts - 2) + v_total / beta
+        # alpha_2 models dedicated-core hosts (the production case). The
+        # contended term is clamped at zero so the worst case can never
+        # read better than the dedicated case.
+        t_gather_worst = (
+            a2 + max(alpha_slope * (n_hosts - 2), 0.0) + v_total / beta
+        )
         t_gather_dedic = a2 + v_total / beta
         eff_w = t_comp / (t_comp + t_gather_worst)
         eff_d = t_comp / (t_comp + t_gather_dedic)

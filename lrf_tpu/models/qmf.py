@@ -176,7 +176,9 @@ def qmf_encode(
     dtype_name = np.dtype(dtype).name
     image_dtype_name = np.dtype(np.asarray(image).dtype).name
     bounds = tuple(bounds)
-    patch_size = tuple(patch_size)
+    # patch_size is unused (and may be None) when patch=False — the
+    # reference likewise never touches it there (`compression/qmf.py:155`)
+    patch_size = tuple(patch_size) if patch else (8, 8)
     scale_factor = tuple(scale_factor)
     bcd_kwargs = tuple(sorted(kwargs.items()))
     size = (int(image.shape[-2]), int(image.shape[-1]))
