@@ -19,10 +19,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Sweeps hit one jit compile per distinct (image size, rank schedule); the
 # persistent cache makes re-runs and later images (nearly) compile-free.
+# TPU-ONLY: XLA:CPU AOT cache entries embed the compile machine's CPU
+# features and loading them on a host with different features SIGSEGVs
+# (observed: a patch-size sweep segfaulted mid-run loading
+# '+prefer-no-gather' entries; the loader itself warns 'could lead to
+# execution errors such as SIGILL'). CPU compiles are fast; only the
+# minutes-long tunnel TPU compiles are worth persisting.
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/lrf_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if os.environ.get("LRF_TPU_PLATFORM", "").lower() != "cpu":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lrf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # The axon TPU plugin force-prepends itself to jax_platforms and ignores
 # JAX_PLATFORMS, so honor an explicit override here, before any device use.
