@@ -611,10 +611,15 @@ def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
         if confirmed is not None:
             print(json.dumps(confirmed))
             return 0
-        # interim record after every attempt: if the harness kills this
-        # supervisor mid-retry, the last printed JSON line is still a
-        # valid (flagged) record rather than nothing
-        print(json.dumps(_fallback_record(results)), flush=True)
+        # interim record after every attempt (side file, NOT stdout —
+        # the driver contract is ONE stdout JSON line): if the harness
+        # kills this supervisor mid-retry, the latest flagged record
+        # survives on disk for post-mortems
+        try:
+            with open("/tmp/lrf_bench_interim.json", "w") as f:
+                json.dump(_fallback_record(results), f)
+        except OSError:
+            pass
         why = []
         if not _attempt_clean(result):
             for k in (
@@ -637,7 +642,7 @@ def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
             f"({'; '.join(why) or 'awaiting agreement'}); retrying"
         )
     if results:
-        # the last interim line already carries the final fallback record
+        print(json.dumps(_fallback_record(results)))
         return 0
     log("all bench attempts failed")
     return 1
