@@ -138,10 +138,14 @@ def _measure_decode():
         "note": (
             "decode is wire+inflate bound, not compute bound: device "
             "reconstruction is a few ms/batch (thousands of Mpix/s) while "
-            "the 5-bit-packed upload and the host zlib inflate set the "
-            "period. The pipelined floor assumes inflate (worker thread) "
-            "overlaps upload+reconstruct (main thread), as "
-            "sharded_qmf_decode_batches implements."
+            "the 5-bit-packed upload and the host inflate+pack set the "
+            "period. The 'floor' combines THIS run's isolated single- "
+            "transfer upload with the overlap model (inflate on a worker "
+            "thread, upload+reconstruct on the main thread, as "
+            "sharded_qmf_decode_batches implements); the steady "
+            "pipeline's effective wire rate can exceed the isolated "
+            "measurement (async transfer pipelining), so measured "
+            "delivered decode may sit above this figure."
         ),
     }
 
