@@ -38,7 +38,16 @@ Measurement protocol (round-2/3 lessons):
 - *Agreement*: the supervisor runs attempts until two consecutive ones
   agree within `AGREE_TOL` on delivered Mpixel/s (all retry conditions
   clear); the record says whether that confirmation happened
-  (`confirmed`) and lists every attempt's value (`attempts`).
+  (`confirmed`) and lists every attempt with its per-attempt flag
+  history (`attempts`: value + plateaued/weather/tunnel flags + a
+  derived `clean` bool), so an unconfirmed record explains exactly
+  which flag blocked each attempt (round-4 gap: flags died in stderr).
+- *Resume*: clean attempts persist to a side file keyed by a source-tree
+  fingerprint; a later supervisor run (same code, within
+  `RESUME_TTL_S`) resumes from them, so a single bad-weather window
+  cannot exhaust a run's attempt budget — confirmation still requires
+  the LATEST attempt (this run) to be clean and to agree with the
+  previous clean one.
 
 The encode headline is the winner of an in-run flat-vs-entropy transport
 A/B (both plateau-measured, both stderr-logged), so the transport choice
@@ -65,6 +74,8 @@ PLATEAU_CLUSTER = 4
 PLATEAU_MAX_WINDOWS = 24
 WEATHER_FLOOR = 0.60  # achieved/probed tunnel ratio below this = bad weather
 AGREE_TOL = 0.15  # consecutive-attempt agreement band (supervisor)
+RESUME_TTL_S = 6 * 3600  # max age of persisted attempts a new run resumes
+HWM_TTL_S = 3 * 24 * 3600  # probe high-water entries expire after 3 days
 
 
 def log(*a):
@@ -169,7 +180,9 @@ def probe_tunnel(jax, jnp, rounds=3):
 _PROBE_HWM_PATH = "/tmp/lrf_tpu_probe_hwm.json"
 
 
-def probe_high_water(d2h: float, h2d: float) -> tuple[float, float, bool]:
+def probe_high_water(
+    d2h: float, h2d: float, now: float | None = None
+) -> tuple[float, float, bool]:
     """Persist the best tunnel probes seen across runs; flag degradation.
 
     The relative weather guard (achieved vs own probe) closes the
@@ -177,31 +190,48 @@ def probe_high_water(d2h: float, h2d: float) -> tuple[float, float, bool]:
     but run F showed the loophole reopens one level up when the PROBE
     itself collapses (1.1-8.4 MB/s during a multi-hour degradation vs
     17-31 earlier the same day): achieved/probe reads ~90% while the
-    delivered number is 2x low. Anchor against the best probe any run
-    has seen on this host: a probe below half the high-water mark marks
+    delivered number is 2x low. Anchor against the best probe recently
+    seen on this host: a probe below half the high-water mark marks
     the run `tunnel_degraded` and the supervisor treats it as unclean.
     First-ever runs (no stored mark) are never flagged.
+
+    Entries are timestamped and expire after `HWM_TTL_S` (round-4
+    advisor finding: an undecaying mark lets one anomalously high probe
+    permanently poison the guard — every later normal run would read
+    degraded and `confirmed` becomes unreachable until the file is
+    hand-deleted). The mark is the max over surviving entries, so an
+    outlier ages out on its own.
     """
-    hwm = {"d2h": 0.0, "h2d": 0.0}
+    now = time.time() if now is None else now
+    entries: list[dict] = []
     try:
         with open(_PROBE_HWM_PATH) as f:
-            hwm.update(json.load(f))
+            stored = json.load(f)
+        if isinstance(stored, dict) and "entries" in stored:
+            entries = stored["entries"]
+        elif isinstance(stored, dict) and stored.get("d2h"):
+            # legacy single-mark format: adopt as one fresh entry
+            entries = [{"ts": now, "d2h": stored["d2h"], "h2d": stored.get("h2d", 0.0)}]
     except (OSError, json.JSONDecodeError):
         pass
-    degraded = hwm["d2h"] > 0 and d2h < 0.5 * hwm["d2h"]
-    hwm["d2h"] = max(hwm["d2h"], d2h)
-    hwm["h2d"] = max(hwm["h2d"], h2d)
+    entries = [e for e in entries if now - e.get("ts", 0) <= HWM_TTL_S]
+    prior_d2h = max((e["d2h"] for e in entries), default=0.0)
+    degraded = prior_d2h > 0 and d2h < 0.5 * prior_d2h
+    entries.append({"ts": now, "d2h": d2h, "h2d": h2d})
+    entries = entries[-64:]
+    hwm_d2h = max(e["d2h"] for e in entries)
+    hwm_h2d = max(e.get("h2d", 0.0) for e in entries)
     try:
         with open(_PROBE_HWM_PATH, "w") as f:
-            json.dump(hwm, f)
+            json.dump({"entries": entries}, f)
     except OSError:
         pass
     if degraded:
         log(
             f"tunnel DEGRADED: probe {d2h:.1f} MB/s vs high-water "
-            f"{hwm['d2h']:.1f} — run flagged tunnel_degraded"
+            f"{hwm_d2h:.1f} — run flagged tunnel_degraded"
         )
-    return hwm["d2h"], hwm["h2d"], degraded
+    return hwm_d2h, hwm_h2d, degraded
 
 
 def main():
@@ -373,7 +403,10 @@ def main():
     # protocol. One device queue executes batches in order, so blocking on
     # the last batch's array bounds all of them; a per-batch scalar probe
     # would add a serial tunnel round trip (~25 ms) per batch and understate
-    # by ~2x.
+    # by ~2x. The H2D factor transport runs an in-run A/B — "flat" (5-bit
+    # pack, ~2.0 MB/batch wire) vs "dpack" (delta+Huffman, ~1.2 MB) — and
+    # the headline uses this run's winner (round-4 verdict: dpack shipped
+    # but idle, with no committed measurement behind its parity claim).
     device_batch2 = jnp.roll(device_batch, W // 3, axis=-1)
     streams2 = sharded_qmf_encode_batch(
         device_batch2, mesh, quality=QUALITY, pack=pack_pick
@@ -391,8 +424,54 @@ def main():
         jax.block_until_ready(last)
         return mpix * n_dec / (time.perf_counter() - t0)
 
-    dec_rate, dec_ws, dec_plateaued = measure_plateau(decode_window, label="decode")
+    dec_ab = {}  # transport -> dict(rate, ws, plateaued, wire_mb, inflate_ms)
+    prev_transport = os.environ.get("LRF_TPU_DECODE_TRANSPORT")
+    for transport in ("flat", "dpack"):
+        os.environ["LRF_TPU_DECODE_TRANSPORT"] = transport
+        t_inf = float("inf")
+        inflated_t = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            inflated_t = _inflate_streams(streams, True)
+            t_inf = min(t_inf, time.perf_counter() - t0)
+        mode = (
+            inflated_t[4][0]
+            if inflated_t[4] and inflated_t[4][0] == "dpack"
+            else "flat"
+        )
+        if mode != transport:
+            log(f"decode transport '{transport}' unavailable; skipping A/B leg")
+            continue
+        # compile this transport's decoder before the windows
+        jax.block_until_ready(
+            sharded_qmf_decode_batch(streams, mesh, out="device")
+        )
+        rate, ws, ok = measure_plateau(
+            decode_window, label=f"decode[{transport}]"
+        )
+        dec_ab[transport] = dict(
+            rate=rate,
+            ws=ws,
+            plateaued=ok,
+            wire_mb=inflated_t[0].nbytes / 1e6,
+            inflate_ms=t_inf * 1000,
+        )
+    if prev_transport is None:
+        os.environ.pop("LRF_TPU_DECODE_TRANSPORT", None)
+    else:
+        os.environ["LRF_TPU_DECODE_TRANSPORT"] = prev_transport
+    dec_pick = max(dec_ab, key=lambda k: dec_ab[k]["rate"])
+    win = dec_ab[dec_pick]
+    dec_rate, dec_ws, dec_plateaued = win["rate"], win["ws"], win["plateaued"]
     dec_ms = mpix / dec_rate * 1000
+    log(
+        "decode transport A/B (this run): "
+        + ", ".join(
+            f"{k} {v['rate']:.1f} Mpix/s ({v['wire_mb']:.2f} MB wire)"
+            for k, v in dec_ab.items()
+        )
+        + f" -> headline uses '{dec_pick}'"
+    )
     log(
         f"batched decode (streams->device images): {dec_ms:.1f} ms/batch "
         f"({dec_rate:.0f} Mpixel/s)"
@@ -406,10 +485,17 @@ def main():
     t_inf = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        inflated = _inflate_streams(streams)
+        inflated = _inflate_streams(streams, True)
         t_inf = min(t_inf, time.perf_counter() - t0)
-    dec_wire = inflated[0].nbytes
-    achieved_h2d = dec_wire / 1e6 / dec_ms * 1000
+    dec_wire = win["wire_mb"] * 1e6  # the headline transport's upload bytes
+    # Wire-utilization weather evidence rides the FLAT leg: it is the
+    # wire-bound transport, so its achieved-vs-probe ratio is what proves
+    # (or disproves) healthy tunnel weather; dpack moves fewer bytes per
+    # pixel by design and would read as false bad weather.
+    flat_leg = dec_ab.get("flat", win)
+    achieved_h2d = (
+        flat_leg["wire_mb"] * flat_leg["rate"] / mpix
+    )  # MB/batch / (s/batch)
     dec_weather_limited = bool(achieved_h2d < WEATHER_FLOOR * h2d_probe)
 
     from lrf_tpu.parallel.decode import _cached_sharded_decoder
@@ -484,6 +570,15 @@ def main():
                 "decode_mpix_s": round(dec_rate, 2),
                 "decode_vs_baseline": round(dec_rate / BASELINE_DECODE_MPIX_S, 2),
                 "decode_plateaued": bool(dec_plateaued),
+                "decode_transport": dec_pick,
+                **{
+                    f"decode_ab_{k}": round(v["rate"], 1)
+                    for k, v in dec_ab.items()
+                },
+                **{
+                    f"decode_ab_{k}_wire_mb": round(v["wire_mb"], 3)
+                    for k, v in dec_ab.items()
+                },
                 "decode_device_only_mpix_s": round(mpix / dec_dev_ms * 1000, 1),
                 "decode_inflate_ms": round(t_inf * 1000, 1),
                 "decode_wire_mb_per_batch": round(dec_wire / 1e6, 3),
@@ -523,6 +618,28 @@ def _attempt_clean(r: dict) -> bool:
     )
 
 
+def _attempt_summary(r: dict) -> dict:
+    """Per-attempt flag history entry for the published record.
+
+    Round-4 gap: `attempts` was a bare float list, per-attempt retry
+    flags died in stderr, and the published BENCH_r04.json could not
+    explain why its own 418.4/421.1 agreeing pair failed to confirm.
+    Every attempt now carries its blocking flags and a derived `clean`.
+    """
+    out = {
+        "value": r.get("value"),
+        "plateaued": bool(r.get("plateaued")),
+        "decode_plateaued": bool(r.get("decode_plateaued")),
+        "weather_limited": bool(r.get("weather_limited")),
+        "decode_weather_limited": bool(r.get("decode_weather_limited")),
+        "tunnel_degraded": bool(r.get("tunnel_degraded")),
+        "clean": _attempt_clean(r),
+    }
+    if r.get("resumed"):
+        out["resumed"] = True
+    return out
+
+
 def _confirmed_record(results: list) -> dict | None:
     """The record of record, if the last two CLEAN attempts confirm each
     other.
@@ -543,23 +660,94 @@ def _confirmed_record(results: list) -> dict | None:
     if not agree:
         return None
     best = dict(a if a["value"] >= b["value"] else b)
+    best.pop("resumed", None)
+    best.pop("ts", None)
     best["confirmed"] = True
-    best["attempts"] = [r["value"] for r in results]
+    best["attempts"] = [_attempt_summary(r) for r in results]
     return best
 
 
 def _fallback_record(results: list) -> dict:
     """No agreeing clean pair within the budget: the best clean attempt
-    (or the best overall), flagged unconfirmed."""
+    (or the best overall), flagged unconfirmed — with every attempt's
+    blocking flags in `attempts`, so the record explains itself."""
     clean = [r for r in results if _attempt_clean(r)]
     pool = clean or results
     best = dict(max(pool, key=lambda r: r.get("value", 0)))
+    best.pop("resumed", None)
+    best.pop("ts", None)
     best["confirmed"] = False
-    best["attempts"] = [r["value"] for r in results]
+    best["attempts"] = [_attempt_summary(r) for r in results]
     return best
 
 
-def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
+_ATTEMPTS_PATH = "/tmp/lrf_bench_attempts.json"
+
+
+def _source_fingerprint() -> str:
+    """Hash of the measurement-relevant source tree (bench.py + package
+    Python + native C++). Persisted attempts resume only across runs of
+    identical code — values measured by different code don't pair."""
+    import glob
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = [os.path.abspath(__file__)]
+    for pat in ("lrf_tpu/**/*.py", "lrf_tpu/**/*.cpp"):
+        paths.extend(sorted(glob.glob(os.path.join(root, pat), recursive=True)))
+    h = hashlib.sha256()
+    for p in paths:
+        try:
+            with open(p, "rb") as f:
+                h.update(p.encode())
+                h.update(f.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
+def _load_resumable_attempts(fingerprint: str, now: float | None = None) -> list:
+    """Prior attempts from the side file, if same-code and fresh enough.
+
+    Round-4 failure mode: the driver's 4-attempt budget ran out inside a
+    single weather window even though same-day runs confirmed repeatedly.
+    Clean-pair state now survives across supervisor runs (same source
+    fingerprint, within RESUME_TTL_S); resumed attempts are marked so the
+    published history distinguishes them, and confirmation still demands
+    a fresh clean attempt at the end.
+    """
+    now = time.time() if now is None else now
+    try:
+        with open(_ATTEMPTS_PATH) as f:
+            stored = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return []
+    if stored.get("fingerprint") != fingerprint:
+        return []
+    out = []
+    for r in stored.get("records", []):
+        if now - r.get("ts", 0) <= RESUME_TTL_S:
+            r = dict(r)
+            r["resumed"] = True
+            out.append(r)
+    return out
+
+
+def _save_attempts(fingerprint: str, results: list) -> None:
+    recs = []
+    for r in results:
+        r = dict(r)
+        r.pop("resumed", None)
+        r.setdefault("ts", time.time())
+        recs.append(r)
+    try:
+        with open(_ATTEMPTS_PATH, "w") as f:
+            json.dump({"fingerprint": fingerprint, "records": recs[-16:]}, f)
+    except OSError:
+        pass
+
+
+def supervise(retries: int = 6, timeout_s: int = 1800) -> int:
     """Run the measurement in a killable child, retrying on tunnel hangs,
     missing plateaus, and bad tunnel weather; confirm by agreement.
 
@@ -570,9 +758,11 @@ def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
     attempts (encode+decode plateaued, neither weather-limited) agree
     within AGREE_TOL on delivered Mpixel/s; the published record is the
     better of the agreeing pair with `confirmed: true` and every attempt's
-    value in `attempts`. If no pair agrees within the retry budget, the
-    best attempt is published with `confirmed: false` (and its own flags
-    saying why).
+    flag history in `attempts`. If no pair agrees within the retry budget,
+    the best attempt is published with `confirmed: false` (and per-attempt
+    flags saying exactly why). Clean attempts measured by an earlier run
+    of the SAME code within RESUME_TTL_S are resumed from a side file, so
+    one bad-weather window can't exhaust the budget by itself.
     """
     import subprocess
 
@@ -581,7 +771,14 @@ def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
     # throughput of one big synchronous fetch on the tunnel transport
     # (lrf_tpu/utils/transfer.py).
     env.setdefault("LRF_TPU_FETCH_CHUNK", str(256 * 1024))
-    results = []  # every successful attempt's record, in order
+    fingerprint = _source_fingerprint()
+    results = _load_resumable_attempts(fingerprint)
+    if results:
+        log(
+            f"resuming {len(results)} persisted attempt(s) "
+            f"({sum(_attempt_clean(r) for r in results)} clean; "
+            f"fingerprint {fingerprint})"
+        )
     for attempt in range(retries):
         try:
             proc = subprocess.run(
@@ -606,7 +803,9 @@ def supervise(retries: int = 4, timeout_s: int = 1800) -> int:
         except json.JSONDecodeError:
             log(f"bench attempt {attempt + 1} emitted unparsable JSON")
             continue
+        result["ts"] = time.time()
         results.append(result)
+        _save_attempts(fingerprint, results)
         confirmed = _confirmed_record(results)
         if confirmed is not None:
             print(json.dumps(confirmed))

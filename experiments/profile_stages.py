@@ -105,7 +105,7 @@ def main():
     ts = []
     for _ in range(N):
         t0 = time.perf_counter()
-        inflated = _inflate_streams(streams)
+        inflated = _inflate_streams(streams, True)
         ts.append(time.perf_counter() - t0)
     log(f"decode host inflate+pack: {np.median(ts)*1000:.1f} ms")
     flat = inflated[0]

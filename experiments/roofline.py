@@ -83,7 +83,7 @@ def _measure_decode():
     t_inf = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        inflated = _inflate_streams(streams)
+        inflated = _inflate_streams(streams, True)
         t_inf = min(t_inf, time.perf_counter() - t0)
     wire = inflated[0].nbytes
 

@@ -147,12 +147,18 @@ def sharded_qmf_decode_batch(
     )
 
 
-def _inflate_streams(streams, single_device: bool = True):
+def _inflate_streams(streams, single_device: bool = False):
     """Host stage: parse containers + inflate all fibers (native zlib).
 
     Touches no jax state, so it can run on a worker thread concurrently
     with device work on the calling thread. Returns the flat batch-major
     `(B, total)` factor buffer, the shared metadata, and per-factor shapes.
+
+    ``single_device`` gates the dpack upload (its interleaved chunk stream
+    has no batch axis to shard); it defaults to False so a caller that
+    forgets to derive it from the mesh can never enable dpack on a
+    multi-device mesh (round-4 advisor finding) — callers that know they
+    are single-device pass True explicitly.
     """
     assert len(streams) > 0
     metadata = None

@@ -135,6 +135,12 @@ def _observe_entropy_rows(pack_spec, n_rows: int, overflowed: bool) -> None:
         if want > _EXC_ROWS_HINT.get(key, 0):
             _EXC_ROWS_HINT[key] = want
             ENTROPY_STATS["budget_bumps"] += 1
+            # Hysteresis (round-4 advisor finding: bump -> 8 batches ->
+            # p99 shrink -> near-budget bump can ping-pong, each flip a
+            # fresh traced program): a bump clears the observation
+            # history, so the next shrink needs _SHRINK_MIN_OBS fresh
+            # post-bump batches before it can fire.
+            hist.clear()
             _logger.warning(
                 "entropy transport %s: %d continuation rows vs budget %d; "
                 "next build uses %d (fallbacks so far: %d)",
@@ -144,10 +150,17 @@ def _observe_entropy_rows(pack_spec, n_rows: int, overflowed: bool) -> None:
         return
     # Shrink toward observed usage: the whole budget is wire every batch.
     # Quantized up to 1024 rows so per-batch jitter can't churn recompiles;
-    # only adopted when it saves >= 10% of the current budget.
+    # only adopted when it saves >= 10% of the current budget. The target
+    # also clears the near-budget growth trigger for every observed batch
+    # (observed max < 95% of it), so a shrink can never hand the very next
+    # batch straight back to a bump (advisor ping-pong finding).
     if len(hist) >= _SHRINK_MIN_OBS:
-        p99 = float(np.quantile(np.asarray(hist), 0.99))
-        target = int(p99 * _SHRINK_MARGIN) + 256
+        arr = np.asarray(hist)
+        p99 = float(np.quantile(arr, 0.99))
+        target = max(
+            int(p99 * _SHRINK_MARGIN) + 256,
+            int(int(arr.max()) / 0.95) + 1,
+        )
         target = -(-target // 1024) * 1024
         if target * 10 <= budget * 9 and _EXC_ROWS_HINT.get(key) != target:
             _EXC_ROWS_HINT[key] = target

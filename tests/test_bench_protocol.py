@@ -113,7 +113,7 @@ class TestSupervisorAgreement:
         out = _confirmed_record([_rec(330), _rec(350)])
         assert out is not None and out["confirmed"]
         assert out["value"] == 350
-        assert out["attempts"] == [330, 350]
+        assert [a["value"] for a in out["attempts"]] == [330, 350]
 
     def test_disagreeing_pair_does_not_confirm(self):
         # 206 vs 355: the round-3 swing must NOT self-certify
@@ -129,7 +129,7 @@ class TestSupervisorAgreement:
         # a bad first attempt followed by an agreeing clean pair confirms
         out = _confirmed_record([_rec(206), _rec(340), _rec(350)])
         assert out is not None and out["confirmed"]
-        assert out["attempts"] == [206, 340, 350]
+        assert [a["value"] for a in out["attempts"]] == [206, 340, 350]
 
     def test_fallback_prefers_clean_attempts(self):
         out = _fallback_record(
@@ -138,7 +138,7 @@ class TestSupervisorAgreement:
         assert not out["confirmed"]
         # the weather-limited 400 loses to the best clean attempt
         assert out["value"] == 300
-        assert out["attempts"] == [400, 300, 250]
+        assert [a["value"] for a in out["attempts"]] == [400, 300, 250]
 
     def test_fallback_with_no_clean_attempt_takes_best(self):
         out = _fallback_record(
@@ -160,7 +160,7 @@ class TestSupervisorAgreement:
         )
         assert out is not None and out["confirmed"]
         assert out["value"] == 400.9
-        assert out["attempts"] == [400.2, 318.3, 339.4, 400.9]
+        assert [a["value"] for a in out["attempts"]] == [400.2, 318.3, 339.4, 400.9]
 
     def test_no_confirmation_when_last_attempt_is_dirty(self):
         # the pair must END on a clean attempt: a trailing dirty attempt
@@ -198,3 +198,156 @@ class TestSupervisorAgreement:
         # borderline (>= half) does not flag
         _, _, degraded = bench.probe_high_water(15.1, 20.0)
         assert not degraded
+
+
+class TestSelfExplainingRecords:
+    """Round-4 verdict Missing #2: BENCH_r04.json said `confirmed: false`
+    after attempts [418.4, 421.1, 274.2, 406.0] and could not explain why
+    its own 0.6%-agreeing 418.4/421.1 pair failed to confirm — per-attempt
+    retry flags died in stderr. The published record now carries the flag
+    history per attempt."""
+
+    ATTEMPT_KEYS = {
+        "value",
+        "plateaued",
+        "decode_plateaued",
+        "weather_limited",
+        "decode_weather_limited",
+        "tunnel_degraded",
+        "clean",
+    }
+
+    def test_attempt_schema_pinned(self):
+        out = _fallback_record([_rec(300), _rec(200, plateaued=False)])
+        for a in out["attempts"]:
+            assert self.ATTEMPT_KEYS.issubset(a.keys())
+        assert out["attempts"][0]["clean"] is True
+        assert out["attempts"][1]["clean"] is False
+        assert out["attempts"][1]["plateaued"] is False
+
+    def test_r04_driver_sequence_is_self_explaining(self):
+        # the r04 driver sequence: clean, unclean-at-2, unclean, unclean
+        # -> unconfirmed best; the record must name each blocking flag
+        results = [
+            _rec(418.4),
+            _rec(421.1, tunnel_degraded=True),
+            _rec(274.2, weather_limited=True),
+            _rec(406.0, tunnel_degraded=True),
+        ]
+        assert _confirmed_record(results) is None
+        out = _fallback_record(results)
+        assert not out["confirmed"]
+        assert out["value"] == 418.4  # best (only) clean attempt wins
+        flags = out["attempts"]
+        assert [a["value"] for a in flags] == [418.4, 421.1, 274.2, 406.0]
+        assert flags[0]["clean"] and not flags[1]["clean"]
+        assert flags[1]["tunnel_degraded"] is True
+        assert flags[2]["weather_limited"] is True
+        assert flags[3]["tunnel_degraded"] is True
+
+    def test_resumed_attempts_are_marked(self):
+        prior = _rec(400)
+        prior["resumed"] = True
+        out = _confirmed_record([prior, _rec(405)])
+        assert out is not None and out["confirmed"]
+        assert out["attempts"][0].get("resumed") is True
+        assert "resumed" not in out["attempts"][1]
+        assert "resumed" not in out  # the top-level record is not marked
+
+
+class TestProbeHighWaterDecay:
+    """Round-4 advisor finding: an undecaying high-water mark lets one
+    anomalously high probe permanently flag all later normal runs
+    tunnel_degraded. Entries now expire after HWM_TTL_S."""
+
+    def test_outlier_probe_ages_out(self, tmp_path, monkeypatch):
+        import bench
+
+        monkeypatch.setattr(bench, "_PROBE_HWM_PATH", str(tmp_path / "hwm.json"))
+        t0 = 1_000_000.0
+        # anomalous 80 MB/s probe recorded at t0
+        bench.probe_high_water(80.0, 90.0, now=t0)
+        # an hour later, a normal 25 MB/s probe is flagged (mark is fresh)
+        _, _, degraded = bench.probe_high_water(25.0, 40.0, now=t0 + 3600)
+        assert degraded
+        # after the TTL, the outlier has aged out: the same normal probe
+        # is clean (anchor is now the hour-old 25, not the expired 80)
+        _, _, degraded = bench.probe_high_water(
+            25.0, 40.0, now=t0 + bench.HWM_TTL_S + 7200
+        )
+        assert not degraded
+
+    def test_legacy_single_mark_format_migrates(self, tmp_path, monkeypatch):
+        import json as _json
+
+        import bench
+
+        path = tmp_path / "hwm.json"
+        monkeypatch.setattr(bench, "_PROBE_HWM_PATH", str(path))
+        path.write_text(_json.dumps({"d2h": 30.0, "h2d": 44.0}))
+        hwm, _, degraded = bench.probe_high_water(10.0, 20.0)
+        assert degraded and hwm == 30.0
+
+
+class TestAttemptResume:
+    """Round-4 verdict task 1(b): a single weather window exhausted the
+    driver's 4-attempt budget even though same-day runs confirmed
+    repeatedly. Clean attempts now persist to a side file and a later
+    run of the SAME code resumes from them."""
+
+    def test_roundtrip_and_ttl(self, tmp_path, monkeypatch):
+        import bench
+
+        monkeypatch.setattr(
+            bench, "_ATTEMPTS_PATH", str(tmp_path / "attempts.json")
+        )
+        t0 = 2_000_000.0
+        fresh = _rec(400)
+        fresh["ts"] = t0
+        stale = _rec(390)
+        stale["ts"] = t0 - bench.RESUME_TTL_S - 60
+        bench._save_attempts("fp1", [stale, fresh])
+        got = bench._load_resumable_attempts("fp1", now=t0 + 60)
+        assert [r["value"] for r in got] == [400]  # stale one expired
+        assert all(r["resumed"] for r in got)
+
+    def test_fingerprint_mismatch_discards(self, tmp_path, monkeypatch):
+        import bench
+
+        monkeypatch.setattr(
+            bench, "_ATTEMPTS_PATH", str(tmp_path / "attempts.json")
+        )
+        r = _rec(400)
+        r["ts"] = 2_000_000.0
+        bench._save_attempts("fp1", [r])
+        assert bench._load_resumable_attempts("fp2", now=2_000_060.0) == []
+
+    def test_resumed_clean_plus_fresh_agreeing_attempt_confirms(self):
+        # the intended driver flow: my earlier session's clean attempt +
+        # the driver's one fresh clean attempt -> confirmed in 1 attempt
+        prior = _rec(410)
+        prior["resumed"] = True
+        out = _confirmed_record([prior, _rec(395)])
+        assert out is not None and out["confirmed"]
+        assert out["value"] == 410
+
+    def test_fresh_dirty_attempt_still_blocks_confirmation(self):
+        # resume never lets stale cleans self-confirm: the LATEST attempt
+        # (this run) must be clean
+        prior_a = _rec(410)
+        prior_a["resumed"] = True
+        prior_b = _rec(405)
+        prior_b["resumed"] = True
+        assert (
+            _confirmed_record(
+                [prior_a, prior_b, _rec(200, weather_limited=True)]
+            )
+            is None
+        )
+
+    def test_source_fingerprint_is_stable_and_short(self):
+        import bench
+
+        fp1 = bench._source_fingerprint()
+        fp2 = bench._source_fingerprint()
+        assert fp1 == fp2 and len(fp1) == 16
