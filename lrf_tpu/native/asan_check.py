@@ -123,4 +123,76 @@ flat = m.dpack_decode_segments(
 )
 assert flat is not None
 print("dpack_decode_segments ok")
+
+# 5. fused stream assemblers (round 5): factor blocks -> framed streams,
+# and dpack buffers -> framed streams, across backends + degenerate shapes
+from lrf_tpu.models.container import dict_to_bytes
+
+for shapes in [[(2, 300, 6), (2, 16, 1)], [(1, 1, 1)], [(3, 64, 5)]]:
+    b = shapes[0][0]
+    factors = [
+        np.clip(
+            np.cumsum(rng.integers(-2, 3, s), axis=1), -16, 15
+        ).astype(np.int8)
+        for s in shapes
+    ]
+    ms = [s[1] for s in shapes]
+    rs = [s[2] for s in shapes]
+    inner = [
+        dict_to_bytes({"num_fibers": r, "mode": "col", "dtype": "int8"})
+        for r in rs
+    ]
+    md = dict_to_bytes({"k": 1})
+    for backend, lvl in [("zlib", 9), ("deflate", 1), ("best", 0)]:
+        streams = m.assemble_streams(factors, b, ms, rs, md, inner, lvl, backend)
+        assert streams is not None and len(streams) == b
+    # incompressible fibers exercise the capacity bound
+    noise = [rng.integers(-16, 16, s).astype(np.int8) for s in shapes]
+    assert m.assemble_streams(noise, b, ms, rs, md, inner, 1, "deflate") is not None
+print("assemble_streams ok")
+
+shapes = [(2, 300, 6), (2, 64, 1)]
+b = 2
+raws = [
+    np.clip(np.cumsum(rng.integers(-2, 3, (b * r, mm)), axis=1), -16, 15)
+    .astype(np.int8)
+    for (_, mm, r) in shapes
+]
+ms = [s[1] for s in shapes]
+rs = [s[2] for s in shapes]
+budget = E.default_exc_rows(sum(b * (-(-mm * r // E.CHUNK)) for _, mm, r in shapes))
+main, exc, cr, nr = m.dpack_encode(
+    raws, b, ms, rs, E.LENS, E.CODES, E.CHUNK, E.MAIN_WORDS, E.ROW_WORDS, budget
+)
+bases = np.concatenate([[0], np.cumsum(cr)])
+vals, _, bounds = E.segment_layout(shapes)
+seg_base = bases[np.asarray(bounds)].astype(np.int64)
+inner = [
+    dict_to_bytes({"num_fibers": r, "mode": "col", "dtype": "int8"}) for r in rs
+]
+md = dict_to_bytes({"k": 2})
+got = m.dpack_assemble_streams(
+    main, exc[: nr * E.ROW_WORDS], seg_base, b, ms, rs, E.LENS, E.CODES,
+    E.CHUNK, E.MAIN_WORDS, E.ROW_WORDS, md, inner, 1, "deflate",
+)
+assert got is not None and len(got) == b
+factors = [
+    np.ascontiguousarray(raw.reshape(b, r, mm).transpose(0, 2, 1))
+    for raw, (_, mm, r) in zip(raws, shapes)
+]
+expect = m.assemble_streams(factors, b, ms, rs, md, inner, 1, "deflate")
+assert got == expect, "fused dpack assembly must match factor-block assembly"
+# truncated exc (rows past the stream read as zeros) must not overflow
+got2 = m.dpack_assemble_streams(
+    main, exc[:0], seg_base, b, ms, rs, E.LENS, E.CODES,
+    E.CHUNK, E.MAIN_WORDS, E.ROW_WORDS, md, inner, 1, "deflate",
+)
+assert got2 is not None
+# bad Huffman table (zero length) must fail cleanly, not crash
+bad_lens = np.array(E.LENS, np.int32).copy(); bad_lens[0] = 0
+assert m.dpack_assemble_streams(
+    main, exc, seg_base, b, ms, rs, bad_lens, E.CODES,
+    E.CHUNK, E.MAIN_WORDS, E.ROW_WORDS, md, inner, 1, "deflate",
+) is None
+print("dpack_assemble_streams ok (incl. truncated-exc + bad-table guards)")
 print("ALL ASAN CHECKS PASSED")

@@ -192,6 +192,285 @@ void parallel_for(int64_t n, Fn fn) {
   Pool::instance().run(n, fn);
 }
 
+// ---- dpack segment decoder (shared by the decode entry point and the
+// fused decode->deflate->frame serializer path) ----
+
+struct HuffEntry {
+  int8_t sym;
+  int8_t len;
+};
+
+struct DpackTables {
+  std::vector<HuffEntry> lut;  // next max_len bits (LSB-first) -> (sym, len)
+  uint32_t lut_mask = 0;
+  int64_t max_len = 0;
+  int64_t main_bytes = 0, row_bytes = 0, main_bits = 0, row_bits = 0;
+  int64_t max_rows = 0, chunk = 0;
+};
+
+int dpack_build_tables(const int32_t* lens, const uint32_t* codes,
+                       int64_t alphabet, int64_t chunk, int64_t main_words,
+                       int64_t row_words, int64_t max_len, DpackTables* t) {
+  if (max_len <= 0 || max_len > 16) return 1;
+  t->lut.assign(static_cast<size_t>(1) << max_len, HuffEntry{0, 0});
+  for (int64_t s = 0; s < alphabet; ++s) {
+    int L = lens[s];
+    if (L <= 0 || L > max_len) return 1;
+    uint32_t c = codes[s];
+    for (uint32_t fill = 0; fill < (1u << (max_len - L)); ++fill) {
+      t->lut[c | (fill << L)] = {static_cast<int8_t>(s),
+                                 static_cast<int8_t>(L)};
+    }
+  }
+  t->lut_mask = (1u << max_len) - 1;
+  t->max_len = max_len;
+  t->main_bytes = main_words * 4;
+  t->row_bytes = row_words * 4;
+  t->main_bits = main_words * 32;
+  t->row_bits = row_words * 32;
+  t->max_rows =
+      (chunk * max_len - t->main_bits + t->row_bits - 1) / t->row_bits;
+  t->chunk = chunk;
+  return 0;
+}
+
+// Decode ONE segment (seg_vals values, rank stride r_stride, chunks starting
+// at chunk id `chunk0`, continuation rows starting at `row_base`) into dst.
+//
+// Inner-loop design (round-5: this stage was 47% of the 36 ms/batch64
+// serializer): per chunk, the main slot plus the WORST-CASE continuation
+// rows (max_rows + 1, ~80 bytes total at the shipped tables) are copied
+// into the scratch up front, removing the per-symbol refill check; the
+// bit window is one unaligned 64-bit load (>= 57 usable bits >= max_len);
+// full chunks skip the `i < take` tail guard; and the running-sum delta
+// undo carries an incrementing rank counter instead of `v % r_stride`
+// (an integer divide per symbol — the encoder dropped it in round 4, the
+// decoder had kept it). Rows actually consumed are still counted from the
+// final bit position, so over-copied rows stay available to later chunks.
+void dpack_decode_segment(const DpackTables& t, const uint8_t* main,
+                          const uint8_t* exc, int64_t n_exc_rows,
+                          int64_t seg_vals, int64_t r_stride, int64_t chunk0,
+                          int64_t row_base, int32_t* run_scratch,
+                          uint8_t* buf_scratch, int8_t* dst) {
+  const int64_t chunk = t.chunk;
+  const int64_t worst_rows = t.max_rows + 1;
+  int64_t remaining = seg_vals;
+  int64_t cid = chunk0;
+  int64_t row_cursor = row_base;
+  int64_t ri = 0;  // rank counter (replaces v % r_stride)
+  std::fill(run_scratch, run_scratch + r_stride, 0);
+  while (remaining > 0) {
+    std::memcpy(buf_scratch, main + cid * t.main_bytes,
+                static_cast<size_t>(t.main_bytes));
+    // all rows this chunk COULD need, copied unconditionally (cheaper
+    // than a per-symbol availability check); rows past the stream's end
+    // read as zeros, as before
+    int64_t avail = n_exc_rows - row_cursor;
+    if (avail > worst_rows) avail = worst_rows;
+    if (avail < 0) avail = 0;
+    if (avail > 0)
+      std::memcpy(buf_scratch + t.main_bytes, exc + row_cursor * t.row_bytes,
+                  static_cast<size_t>(avail * t.row_bytes));
+    if (avail < worst_rows)
+      std::memset(buf_scratch + t.main_bytes + avail * t.row_bytes, 0,
+                  static_cast<size_t>((worst_rows - avail) * t.row_bytes));
+    int64_t take = remaining < chunk ? remaining : chunk;
+    int64_t bitpos = 0;
+    if (take == chunk) {
+      // one 64-bit window serves several symbols: after j codes the
+      // in-window shift is at most 7 + j*max_len, so
+      // n = (64 - 7 - max_len)/max_len + 1 codes always fit before a
+      // reload (5 at the shipped max_len=10 tables) — the load leaves
+      // the per-symbol dependency chain
+      const int64_t per_load = (64 - 7 - t.max_len) / t.max_len + 1;
+      int64_t i = 0;
+      while (i < chunk) {
+        const int64_t byte0 = bitpos >> 3;
+        uint64_t window;
+        std::memcpy(&window, buf_scratch + byte0, 8);
+        int64_t shift = bitpos & 7;
+        int64_t n = chunk - i;
+        if (n > per_load) n = per_load;
+        for (int64_t j = 0; j < n; ++j) {
+          HuffEntry e = t.lut[(window >> shift) & t.lut_mask];
+          int32_t zz = e.sym;
+          int32_t d = (zz & 1) ? -((zz + 1) >> 1) : (zz >> 1);
+          int32_t& a = run_scratch[ri];
+          a += d;
+          dst[i + j] = static_cast<int8_t>(a);
+          if (++ri == r_stride) ri = 0;
+          shift += e.len;
+        }
+        bitpos = (byte0 << 3) + shift;
+        i += n;
+      }
+    } else {
+      for (int64_t i = 0; i < chunk; ++i) {
+        uint64_t window;
+        std::memcpy(&window, buf_scratch + (bitpos >> 3), 8);
+        HuffEntry e = t.lut[(window >> (bitpos & 7)) & t.lut_mask];
+        if (i < take) {
+          int32_t zz = e.sym;
+          int32_t d = (zz & 1) ? -((zz + 1) >> 1) : (zz >> 1);
+          int32_t& a = run_scratch[ri];
+          a += d;
+          dst[i] = static_cast<int8_t>(a);
+          if (++ri == r_stride) ri = 0;
+        }
+        bitpos += e.len;
+      }
+    }
+    if (bitpos > t.main_bits)
+      row_cursor += (bitpos - t.main_bits + t.row_bits - 1) / t.row_bits;
+    dst += take;
+    remaining -= take;
+    ++cid;
+  }
+}
+
+// scratch bytes dpack_decode_segment needs in buf_scratch: main slot +
+// worst-case rows (+1: when every code is max_len the final symbol's
+// window can start in the byte past max_rows' end) + 8 slack for the
+// unaligned 64-bit window load at the last bit position.
+int64_t dpack_buf_bytes(const DpackTables& t) {
+  return t.main_bytes + (t.max_rows + 1) * t.row_bytes + 8;
+}
+
+// ---- stream assembly (round-5 serializer fusion) ----
+//
+// The byte container is the reference's recursive 4-byte-BE length-prefix
+// fold (pashtari/lrf `lrf/compression/utils.py:246-321`): combining
+// payloads p_1..p_n left-fold emits headers L_{n-1}..L_1 (L_k = total
+// bytes of the fold of the first k payloads = sum(len(p_j), j<=k) +
+// 4*(k-1)) followed by the payloads in order.
+
+void write_be32(uint8_t*& dst, uint64_t v) {
+  dst[0] = static_cast<uint8_t>(v >> 24);
+  dst[1] = static_cast<uint8_t>(v >> 16);
+  dst[2] = static_cast<uint8_t>(v >> 8);
+  dst[3] = static_cast<uint8_t>(v);
+  dst += 4;
+}
+
+// Compress one fiber with backend 0 (zlib), 1 (libdeflate) or 2 ("best":
+// zlib-9 raced against libdeflate-12, ties to zlib — the container layer's
+// payload-minimal default, byte-for-byte the same winner selection as
+// container._compress_fibers).
+int compress_fiber_dispatch(const uint8_t* src, int64_t n, uint8_t* dst,
+                            int64_t cap, int level, int backend,
+                            int64_t* out_len, std::vector<uint8_t>* race) {
+  if (backend == 0) return compress_one(src, n, dst, cap, level, out_len);
+  if (backend == 1)
+    return compress_one_libdeflate(src, n, dst, cap, level, out_len);
+  int64_t lz = 0, ld = 0;
+  int rc = compress_one(src, n, dst, cap, 9, &lz);
+  if (rc != Z_OK) return rc;
+  if (race->size() < static_cast<size_t>(cap)) race->resize(cap);
+  rc = compress_one_libdeflate(src, n, race->data(), cap, 12, &ld);
+  if (rc != Z_OK) return rc;
+  if (ld < lz) {
+    std::memcpy(dst, race->data(), static_cast<size_t>(ld));
+    *out_len = ld;
+  } else {
+    *out_len = lz;
+  }
+  return Z_OK;
+}
+
+// Deflate the r fibers (columns, stride r in the m-major (m, r) value
+// block) of one (factor, image) segment into uniform-capacity blob slots.
+int compress_segment_fibers(const int8_t* block, int64_t m, int64_t r,
+                            int level, int backend, uint8_t* slots,
+                            int64_t cap, int64_t* blob_lens) {
+  thread_local std::vector<uint8_t> col;
+  thread_local std::vector<uint8_t> race;
+  if (col.size() < static_cast<size_t>(m)) col.resize(m);
+  for (int64_t ri = 0; ri < r; ++ri) {
+    const int8_t* src = block + ri;
+    for (int64_t mi = 0; mi < m; ++mi) col[mi] = static_cast<uint8_t>(src[mi * r]);
+    int rc = compress_fiber_dispatch(col.data(), m, slots + ri * cap, cap,
+                                     level, backend, &blob_lens[ri], &race);
+    if (rc != Z_OK) return rc;
+  }
+  return 0;
+}
+
+// Frame the per-image streams from compressed fiber blobs. Blob slot
+// layout: factor k's fibers for image bi live at
+// slots + (fiber_base[k] + bi * rs[k]) * cap, lengths at the same index in
+// blob_lens. Returns 0, or 1 if out_cap is too small.
+int assemble_frames(int64_t n_factors, int64_t b, const int64_t* rs,
+                    const uint8_t* slots, const int64_t* blob_lens,
+                    const int64_t* fiber_base, int64_t cap,
+                    const uint8_t* metadata, int64_t metadata_len,
+                    const uint8_t* inner_md_concat,
+                    const int64_t* inner_md_lens, uint8_t* out,
+                    int64_t out_cap, int64_t* stream_lens) {
+  std::vector<int64_t> md_off(static_cast<size_t>(n_factors) + 1, 0);
+  for (int64_t k = 0; k < n_factors; ++k)
+    md_off[static_cast<size_t>(k) + 1] =
+        md_off[static_cast<size_t>(k)] + inner_md_lens[k];
+  // pass 1: exact stream lengths
+  std::vector<int64_t> f_len(static_cast<size_t>(n_factors * b));
+  for (int64_t bi = 0; bi < b; ++bi) {
+    int64_t factors_len = 4 * (n_factors - 1);
+    for (int64_t k = 0; k < n_factors; ++k) {
+      const int64_t r = rs[k];
+      const int64_t* lens_k = blob_lens + fiber_base[k] + bi * r;
+      int64_t fc = 4 * (r - 1);
+      for (int64_t ri = 0; ri < r; ++ri) fc += lens_k[ri];
+      const int64_t fl = 4 + inner_md_lens[k] + fc;
+      f_len[static_cast<size_t>(k * b + bi)] = fl;
+      factors_len += fl;
+    }
+    stream_lens[bi] = 4 + metadata_len + factors_len;
+  }
+  int64_t total = 0;
+  for (int64_t bi = 0; bi < b; ++bi) total += stream_lens[bi];
+  if (total > out_cap) return 1;
+  std::vector<int64_t> stream_off(static_cast<size_t>(b) + 1, 0);
+  for (int64_t bi = 0; bi < b; ++bi)
+    stream_off[static_cast<size_t>(bi) + 1] =
+        stream_off[static_cast<size_t>(bi)] + stream_lens[bi];
+  // pass 2: write (parallel over images; disjoint output ranges)
+  parallel_for(b, [&](int64_t bi) {
+    uint8_t* dst = out + stream_off[static_cast<size_t>(bi)];
+    write_be32(dst, static_cast<uint64_t>(metadata_len));
+    std::memcpy(dst, metadata, static_cast<size_t>(metadata_len));
+    dst += metadata_len;
+    // combine([f_0..f_{n-1}]) headers: L_k for k = n-1 .. 1
+    for (int64_t k = n_factors - 1; k >= 1; --k) {
+      int64_t lk = 4 * (k - 1);
+      for (int64_t j = 0; j < k; ++j)
+        lk += f_len[static_cast<size_t>(j * b + bi)];
+      write_be32(dst, static_cast<uint64_t>(lk));
+    }
+    for (int64_t k = 0; k < n_factors; ++k) {
+      const int64_t r = rs[k];
+      const int64_t* lens_k = blob_lens + fiber_base[k] + bi * r;
+      const uint8_t* slots_k = slots + (fiber_base[k] + bi * r) * cap;
+      // f_k = combine([inner_md_k, fibers_combined])
+      write_be32(dst, static_cast<uint64_t>(inner_md_lens[k]));
+      std::memcpy(dst, inner_md_concat + md_off[static_cast<size_t>(k)],
+                  static_cast<size_t>(inner_md_lens[k]));
+      dst += inner_md_lens[k];
+      // combine(blobs) headers: L_j for j = r-1 .. 1
+      int64_t prefix = 0;  // sum of first j blob lens, built incrementally
+      for (int64_t j = 0; j < r - 1; ++j) prefix += lens_k[j];
+      for (int64_t j = r - 1; j >= 1; --j) {
+        write_be32(dst, static_cast<uint64_t>(prefix + 4 * (j - 1)));
+        prefix -= lens_k[j - 1];
+      }
+      for (int64_t ri = 0; ri < r; ++ri) {
+        std::memcpy(dst, slots_k + ri * cap,
+                    static_cast<size_t>(lens_k[ri]));
+        dst += lens_k[ri];
+      }
+    }
+  });
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -251,29 +530,10 @@ int lrf_dpack_decode_segments(const uint8_t* main, const uint8_t* exc,
                               int64_t alphabet, int64_t chunk,
                               int64_t main_words, int64_t row_words,
                               int64_t max_len, int8_t* out) {
-  if (max_len <= 0 || max_len > 16) return 1;
-  struct Entry {
-    int8_t sym;
-    int8_t len;
-  };
-  // LUT: index = next `max_len` bits (LSB-first) -> (symbol, length)
-  std::vector<Entry> lut(static_cast<size_t>(1) << max_len);
-  for (int64_t s = 0; s < alphabet; ++s) {
-    int L = lens[s];
-    if (L <= 0 || L > max_len) return 1;
-    uint32_t c = codes[s];
-    for (uint32_t fill = 0; fill < (1u << (max_len - L)); ++fill) {
-      uint32_t idx = c | (fill << L);
-      lut[idx] = {static_cast<int8_t>(s), static_cast<int8_t>(L)};
-    }
-  }
-  const int64_t main_bytes = main_words * 4;
-  const int64_t row_bytes = row_words * 4;
-  const int64_t main_bits = main_words * 32;
-  const int64_t row_bits = row_words * 32;
-  const int64_t max_rows =
-      (chunk * max_len - main_bits + row_bits - 1) / row_bits;
-  const uint32_t lut_mask = (1u << max_len) - 1;
+  DpackTables t;
+  if (dpack_build_tables(lens, codes, alphabet, chunk, main_words, row_words,
+                         max_len, &t) != 0)
+    return 1;
   // per-segment output offsets and first-chunk ids
   std::vector<int64_t> out_off(static_cast<size_t>(num_segments));
   std::vector<int64_t> chunk0(static_cast<size_t>(num_segments));
@@ -285,72 +545,144 @@ int lrf_dpack_decode_segments(const uint8_t* main, const uint8_t* exc,
     chk += (seg_values[s] + chunk - 1) / chunk;
   }
   std::vector<int> rcs(static_cast<size_t>(num_segments), 0);
+  const int64_t buf_bytes = dpack_buf_bytes(t);
   parallel_for(num_segments, [&](int64_t s) {
     const int64_t r_stride = seg_ranks[s];
     if (r_stride <= 0) {
       rcs[static_cast<size_t>(s)] = 2;
       return;
     }
-    int8_t* dst = out + out_off[static_cast<size_t>(s)];
-    int64_t remaining = seg_values[s];
-    int64_t cid = chunk0[static_cast<size_t>(s)];
-    int64_t row_cursor = seg_row_base[s];
-    int64_t v = 0;  // value index within the segment (for the rank stride)
-    std::vector<int32_t> run(static_cast<size_t>(r_stride), 0);
+    std::vector<int32_t> run(static_cast<size_t>(r_stride));
     // scratch: main slot + worst-case continuation rows + lookahead slack.
     // +1 row: when every code in a chunk is max_len the peek before the
     // final symbol can demand ((chunk*max_len + 7) >> 3) + 1 bytes, which
     // rounds up to one row beyond max_rows (the row itself is zero-padding
     // the decoder never consumes past the last code's end bit).
-    std::vector<uint8_t> buf(
-        static_cast<size_t>(main_bytes + (max_rows + 1) * row_bytes + 4), 0);
-    while (remaining > 0) {
-      std::memcpy(buf.data(), main + cid * main_bytes,
-                  static_cast<size_t>(main_bytes));
-      int64_t filled = main_bytes;  // bytes of buf holding real stream data
-      int64_t peek = row_cursor;
-      int64_t take = remaining < chunk ? remaining : chunk;
-      int64_t bitpos = 0;
-      for (int64_t i = 0; i < chunk; ++i) {
-        // decode may peek past the last code's end; rows consumed are
-        // counted from the final bit position (mirroring the encoder), so
-        // over-peeked rows stay available to the next chunk
-        while (((bitpos + max_len + 7) >> 3) + 1 > filled) {
-          if (peek < n_exc_rows) {
-            std::memcpy(buf.data() + filled, exc + peek * row_bytes,
-                        static_cast<size_t>(row_bytes));
-          } else {
-            std::memset(buf.data() + filled, 0,
-                        static_cast<size_t>(row_bytes));
-          }
-          filled += row_bytes;
-          ++peek;
-        }
-        int64_t byte0 = bitpos >> 3;
-        uint32_t window = static_cast<uint32_t>(buf[byte0]) |
-                          (static_cast<uint32_t>(buf[byte0 + 1]) << 8) |
-                          (static_cast<uint32_t>(buf[byte0 + 2]) << 16);
-        Entry e = lut[(window >> (bitpos & 7)) & lut_mask];
-        if (i < take) {
-          int32_t zz = e.sym;
-          int32_t d = (zz & 1) ? -((zz + 1) >> 1) : (zz >> 1);
-          int32_t& a = run[static_cast<size_t>(v % r_stride)];
-          a += d;
-          dst[i] = static_cast<int8_t>(a);
-          ++v;
-        }
-        bitpos += e.len;
-      }
-      if (bitpos > main_bits)
-        row_cursor += (bitpos - main_bits + row_bits - 1) / row_bits;
-      dst += take;
-      remaining -= take;
-      ++cid;
-    }
+    std::vector<uint8_t> buf(static_cast<size_t>(buf_bytes), 0);
+    dpack_decode_segment(t, main, exc, n_exc_rows, seg_values[s], r_stride,
+                         chunk0[static_cast<size_t>(s)], seg_row_base[s],
+                         run.data(), buf.data(),
+                         out + out_off[static_cast<size_t>(s)]);
   });
   for (int rc : rcs)
     if (rc != 0) return rc;
   return 0;
+}
+
+// Assemble finished per-image container streams from (B, M_k, R_k)
+// row-major int8 factor value blocks: per (factor, image) segment, gather +
+// deflate the R_k column fibers, then emit the reference byte format
+// (metadata | per-factor [inner metadata | per-fiber blobs], all framed
+// with the 4-byte-BE recursive fold — `lrf/compression/utils.py:246-390`)
+// in one pass. Replaces the per-factor numpy transpose + per-fiber Python
+// bytes objects + Python framing loop of the round-4 serializer. `backend`:
+// 0 zlib, 1 libdeflate, 2 "best" (zlib-9 vs libdeflate-12 race). Returns
+// 0 ok, 1 out_cap too small, other nonzero = compression failure.
+int lrf_assemble_streams(const int8_t* const* factor_bufs, int64_t n_factors,
+                         int64_t b, const int64_t* ms, const int64_t* rs,
+                         const uint8_t* metadata, int64_t metadata_len,
+                         const uint8_t* inner_md_concat,
+                         const int64_t* inner_md_lens, int level, int backend,
+                         uint8_t* out, int64_t out_cap,
+                         int64_t* stream_lens) {
+  int64_t max_m = 0, total_fibers = 0;
+  std::vector<int64_t> fiber_base(static_cast<size_t>(n_factors));
+  for (int64_t k = 0; k < n_factors; ++k) {
+    fiber_base[static_cast<size_t>(k)] = total_fibers;
+    total_fibers += b * rs[k];
+    if (ms[k] > max_m) max_m = ms[k];
+  }
+  const int64_t cap = max_m + max_m / 8 + 128;
+  std::vector<uint8_t> slots(static_cast<size_t>(total_fibers * cap));
+  std::vector<int64_t> blob_lens(static_cast<size_t>(total_fibers));
+  const int64_t n_segments = n_factors * b;
+  std::vector<int> rcs(static_cast<size_t>(n_segments), 0);
+  parallel_for(n_segments, [&](int64_t si) {
+    const int64_t k = si / b, bi = si % b;
+    const int64_t m = ms[k], r = rs[k];
+    const int64_t fb = fiber_base[static_cast<size_t>(k)] + bi * r;
+    rcs[static_cast<size_t>(si)] = compress_segment_fibers(
+        factor_bufs[k] + bi * m * r, m, r, level, backend,
+        slots.data() + fb * cap, cap, blob_lens.data() + fb);
+  });
+  for (int rc : rcs)
+    if (rc != 0) return rc == Z_BUF_ERROR ? 1 : rc;
+  return assemble_frames(n_factors, b, rs, slots.data(), blob_lens.data(),
+                         fiber_base.data(), cap, metadata, metadata_len,
+                         inner_md_concat, inner_md_lens, out, out_cap,
+                         stream_lens);
+}
+
+// The fully fused serializer: device entropy-transport buffers (main /
+// continuation rows / per-segment row bases, factor-major segment order as
+// `lrf_tpu.ops.entropy.segment_layout` lays them out) -> finished
+// per-image container streams. Each (factor, image) segment Huffman-
+// decodes into a thread-local block that its fibers deflate straight out
+// of (cache-resident: the round-4 path wrote all ~3 MB of values to RAM,
+// re-read them through a numpy transpose, and paid a second pool
+// dispatch). Same byte contract as lrf_assemble_streams.
+int lrf_dpack_assemble_streams(
+    const uint8_t* main, const uint8_t* exc, int64_t n_exc_rows,
+    const int64_t* seg_row_base, int64_t n_factors, int64_t b,
+    const int64_t* ms, const int64_t* rs, const int32_t* lens,
+    const uint32_t* codes, int64_t alphabet, int64_t chunk,
+    int64_t main_words, int64_t row_words, int64_t max_len,
+    const uint8_t* metadata, int64_t metadata_len,
+    const uint8_t* inner_md_concat, const int64_t* inner_md_lens, int level,
+    int backend, uint8_t* out, int64_t out_cap, int64_t* stream_lens) {
+  DpackTables t;
+  if (dpack_build_tables(lens, codes, alphabet, chunk, main_words, row_words,
+                         max_len, &t) != 0)
+    return -1;
+  int64_t max_m = 0, max_vals = 0, max_r = 0, total_fibers = 0;
+  std::vector<int64_t> fiber_base(static_cast<size_t>(n_factors));
+  std::vector<int64_t> chunk0(static_cast<size_t>(n_factors));
+  int64_t chk = 0;
+  for (int64_t k = 0; k < n_factors; ++k) {
+    fiber_base[static_cast<size_t>(k)] = total_fibers;
+    chunk0[static_cast<size_t>(k)] = chk;
+    total_fibers += b * rs[k];
+    chk += b * ((ms[k] * rs[k] + chunk - 1) / chunk);
+    if (ms[k] > max_m) max_m = ms[k];
+    if (ms[k] * rs[k] > max_vals) max_vals = ms[k] * rs[k];
+    if (rs[k] > max_r) max_r = rs[k];
+  }
+  const int64_t cap = max_m + max_m / 8 + 128;
+  std::vector<uint8_t> slots(static_cast<size_t>(total_fibers * cap));
+  std::vector<int64_t> blob_lens(static_cast<size_t>(total_fibers));
+  const int64_t n_segments = n_factors * b;
+  const int64_t buf_bytes = dpack_buf_bytes(t);
+  std::vector<int> rcs(static_cast<size_t>(n_segments), 0);
+  parallel_for(n_segments, [&](int64_t si) {
+    const int64_t k = si / b, bi = si % b;
+    const int64_t m = ms[k], r = rs[k];
+    if (r <= 0) {
+      rcs[static_cast<size_t>(si)] = 2;
+      return;
+    }
+    thread_local std::vector<int8_t> block;
+    thread_local std::vector<int32_t> run;
+    thread_local std::vector<uint8_t> buf;
+    if (block.size() < static_cast<size_t>(max_vals)) block.resize(max_vals);
+    if (run.size() < static_cast<size_t>(max_r)) run.resize(max_r);
+    if (buf.size() < static_cast<size_t>(buf_bytes)) buf.resize(buf_bytes);
+    const int64_t per = m * r;
+    const int64_t seg_chunks = (per + chunk - 1) / chunk;
+    dpack_decode_segment(t, main, exc, n_exc_rows, per, r,
+                         chunk0[static_cast<size_t>(k)] + bi * seg_chunks,
+                         seg_row_base[k * b + bi], run.data(), buf.data(),
+                         block.data());
+    const int64_t fb = fiber_base[static_cast<size_t>(k)] + bi * r;
+    rcs[static_cast<size_t>(si)] = compress_segment_fibers(
+        block.data(), m, r, level, backend, slots.data() + fb * cap, cap,
+        blob_lens.data() + fb);
+  });
+  for (int rc : rcs)
+    if (rc != 0) return rc == Z_BUF_ERROR ? 1 : rc;
+  return assemble_frames(n_factors, b, rs, slots.data(), blob_lens.data(),
+                         fiber_base.data(), cap, metadata, metadata_len,
+                         inner_md_concat, inner_md_lens, out, out_cap,
+                         stream_lens);
 }
 
 // Decompress `num_fibers` concatenated deflate blobs (lengths in

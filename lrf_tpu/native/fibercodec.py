@@ -148,6 +148,53 @@ def _load():
     except AttributeError:  # stale .so from before the pack fast path
         pass
     try:
+        lib.lrf_assemble_streams.restype = ctypes.c_int
+        lib.lrf_assemble_streams.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.lrf_dpack_assemble_streams.restype = ctypes.c_int
+        lib.lrf_dpack_assemble_streams.argtypes = [
+            ctypes.c_void_p,  # main (numpy pointer)
+            ctypes.c_void_p,  # exc (numpy pointer)
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:  # stale .so from before the stream assembler
+        pass
+    try:
         lib.lrf_dpack_encode.restype = ctypes.c_int
         lib.lrf_dpack_encode.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),
@@ -411,3 +458,146 @@ def dpack_encode(
     if rc != 0:
         return None
     return main, exc, chunk_rows, int(n_rows[0])
+
+
+_ASSEMBLE_BACKENDS = {"zlib": 0, "deflate": 1, "best": 2}
+
+
+def _stream_capacity(
+    b: int, ms, rs, metadata_len: int, inner_md_lens
+) -> int:
+    """Upper bound on the total bytes of b assembled streams (worst-case
+    incompressible fibers at the C side's per-fiber capacity)."""
+    n_factors = len(ms)
+    per_image = 4 + metadata_len + 4 * (n_factors - 1)
+    for m, r, mdl in zip(ms, rs, inner_md_lens):
+        cap = int(m) + int(m) // 8 + 128
+        per_image += 4 + mdl + 4 * (int(r) - 1) + int(r) * cap
+    return b * per_image
+
+
+def _slice_streams(out: np.ndarray, stream_lens: np.ndarray) -> list[bytes]:
+    streams = []
+    off = 0
+    for n in stream_lens:
+        streams.append(out[off : off + int(n)].tobytes())
+        off += int(n)
+    return streams
+
+
+def assemble_streams(
+    factor_bufs: Sequence[np.ndarray],
+    b: int,
+    ms: Sequence[int],
+    rs: Sequence[int],
+    metadata: bytes,
+    inner_mds: Sequence[bytes],
+    level: int,
+    backend: str,
+) -> Optional[list[bytes]]:
+    """Finished per-image container streams from `(B, M_k, R_k)` int8
+    factor blocks in ONE native call (gather + deflate + framing; see
+    fibercodec.cpp::lrf_assemble_streams). Bytes identical to the
+    `encode_tensor_batch` + `combine_bytes` Python assembly. None if the
+    library (or entry point) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lrf_assemble_streams"):
+        return None
+    bufs = [np.ascontiguousarray(f, dtype=np.int8) for f in factor_bufs]
+    ptrs = (ctypes.c_void_p * len(bufs))(
+        *[f.ctypes.data_as(ctypes.c_void_p).value for f in bufs]
+    )
+    ms_arr = np.asarray(ms, dtype=np.int64)
+    rs_arr = np.asarray(rs, dtype=np.int64)
+    md_lens = np.asarray([len(m) for m in inner_mds], dtype=np.int64)
+    md_concat = b"".join(inner_mds)
+    out_cap = _stream_capacity(b, ms, rs, len(metadata), md_lens)
+    out = np.empty(out_cap, dtype=np.uint8)
+    stream_lens = np.empty(b, dtype=np.int64)
+    rc = lib.lrf_assemble_streams(
+        ptrs,
+        len(bufs),
+        b,
+        ms_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        metadata,
+        len(metadata),
+        md_concat,
+        md_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        level,
+        _ASSEMBLE_BACKENDS[backend],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_cap,
+        stream_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return _slice_streams(out, stream_lens)
+
+
+def dpack_assemble_streams(
+    main: np.ndarray,
+    exc: np.ndarray,
+    seg_row_base: np.ndarray,
+    b: int,
+    ms: Sequence[int],
+    rs: Sequence[int],
+    lens: np.ndarray,
+    codes: np.ndarray,
+    chunk: int,
+    main_words: int,
+    row_words: int,
+    metadata: bytes,
+    inner_mds: Sequence[bytes],
+    level: int,
+    backend: str,
+) -> Optional[list[bytes]]:
+    """The fully fused serializer: device entropy-transport buffers ->
+    finished per-image container streams (Huffman decode + fiber deflate +
+    framing, each segment cache-resident; see
+    fibercodec.cpp::lrf_dpack_assemble_streams). None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lrf_dpack_assemble_streams"):
+        return None
+    main_b = np.ascontiguousarray(main).view(np.uint8).reshape(-1)
+    exc_b = np.ascontiguousarray(exc).view(np.uint8).reshape(-1)
+    n_exc_rows = exc_b.size // (row_words * 4)
+    seg_base64 = np.ascontiguousarray(seg_row_base, dtype=np.int64)
+    ms_arr = np.asarray(ms, dtype=np.int64)
+    rs_arr = np.asarray(rs, dtype=np.int64)
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    codes32 = np.ascontiguousarray(codes, dtype=np.uint32)
+    md_lens = np.asarray([len(m) for m in inner_mds], dtype=np.int64)
+    md_concat = b"".join(inner_mds)
+    out_cap = _stream_capacity(b, ms, rs, len(metadata), md_lens)
+    out = np.empty(out_cap, dtype=np.uint8)
+    stream_lens = np.empty(b, dtype=np.int64)
+    rc = lib.lrf_dpack_assemble_streams(
+        main_b.ctypes.data_as(ctypes.c_void_p),
+        exc_b.ctypes.data_as(ctypes.c_void_p),
+        n_exc_rows,
+        seg_base64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ms_arr),
+        b,
+        ms_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        codes32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(lens32),
+        chunk,
+        main_words,
+        row_words,
+        int(lens32.max()),
+        metadata,
+        len(metadata),
+        md_concat,
+        md_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        level,
+        _ASSEMBLE_BACKENDS[backend],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_cap,
+        stream_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return _slice_streams(out, stream_lens)

@@ -690,8 +690,59 @@ def _serialize_batch(host_out, pack_spec, metadata, b: int) -> list[bytes]:
 
     Takes fetched numpy buffers (never jax arrays), so it is safe to run on a
     worker thread concurrently with device dispatch/fetch on the main thread.
+
+    Fast path (round-5 serializer fusion): the whole per-image stream
+    assembly — entropy-transport Huffman decode, per-fiber deflate, inner
+    metadata, container framing — runs as ONE native call returning
+    finished streams (`fibercodec.cpp::lrf_dpack_assemble_streams` /
+    `lrf_assemble_streams`), bytes identical to the layered Python
+    assembly below (tests/test_native.py pins this). The round-4 split
+    measured the layered path at ~36 ms/batch64 on the 2-core host
+    (47% dpack decode, 41% deflate, 5% numpy/framing glue); the fused
+    call keeps each segment cache-resident between decode and deflate
+    and eliminates the per-fiber Python bytes objects.
     """
+    from lrf_tpu.models.container import get_fiber_coder
+    from lrf_tpu.native import fibercodec as _native
+
     encoded_metadata = dict_to_bytes(metadata)
+    backend, level = get_fiber_coder()
+    if (
+        pack_spec is not None
+        and np.dtype(pack_spec["dtype"]) == np.int8
+        and backend in ("zlib", "deflate", "best")
+    ):
+        shapes = pack_spec["shapes"]
+        ms = [s[1] for s in shapes]
+        rs = [s[2] for s in shapes]
+        inner_mds = [
+            dict_to_bytes({"num_fibers": r, "mode": "col", "dtype": "int8"})
+            for r in rs
+        ]
+        if pack_spec["mode"] == "entropy":
+            from lrf_tpu.ops import entropy as _entropy
+
+            seg_base, main, exc = host_out
+            streams = _native.dpack_assemble_streams(
+                main, exc, np.asarray(seg_base, dtype=np.int64), b, ms, rs,
+                _entropy.LENS, _entropy.CODES, _entropy.CHUNK,
+                _entropy.MAIN_WORDS, _entropy.ROW_WORDS,
+                encoded_metadata, inner_mds, level, backend,
+            )
+            if streams is not None:
+                return streams
+        elif pack_spec["mode"] == "flat":
+            factors = _unpack_factors(
+                host_out, shapes, pack_spec["dtype"],
+                pack_spec["lo"], pack_spec["bits"],
+            )
+            streams = _native.assemble_streams(
+                factors, b, ms, rs, encoded_metadata, inner_mds, level, backend
+            )
+            if streams is not None:
+                return streams
+            host_out = factors  # reuse the unpack below
+            pack_spec = None
     if pack_spec is not None and pack_spec["mode"] == "entropy":
         host_factors = _decode_entropy(host_out, pack_spec)
     elif pack_spec is not None:

@@ -230,3 +230,155 @@ def test_inflate_pack_fast_path_matches_numpy():
         dec._inflate_pack_native = orig
     assert fast[2] == slow[2] and fast[4] == slow[4]
     np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
+
+
+@needs_native
+class TestFusedStreamAssembly:
+    """Round-5 serializer fusion: one native call from factor values (or
+    entropy-transport buffers) to finished per-image container streams.
+    Byte contract: identical to the layered Python assembly
+    (`encode_tensor_batch` + `combine_bytes`) for every coder backend."""
+
+    def _layered(self, factors, metadata, coder):
+        from lrf_tpu.models.container import combine_bytes, dict_to_bytes
+
+        encoded_metadata = dict_to_bytes(metadata)
+        per_factor_blobs = [
+            encode_tensor_batch(f, coder=coder) for f in factors
+        ]
+        streams = []
+        for i in range(factors[0].shape[0]):
+            encoded_factors = combine_bytes(
+                [blobs[i] for blobs in per_factor_blobs]
+            )
+            streams.append(combine_bytes([encoded_metadata, encoded_factors]))
+        return streams
+
+    def _factors(self, b=5, seed=7):
+        rng = np.random.default_rng(seed)
+        shapes = [(b, 96, 13), (b, 96, 13), (b, 24, 6), (b, 24, 6),
+                  (b, 24, 1), (b, 24, 1)]
+        return [
+            rng.integers(-16, 16, s).astype(np.int8) for s in shapes
+        ]
+
+    @pytest.mark.parametrize(
+        "coder", [("zlib", 9), ("deflate", 1), ("best", 0)]
+    )
+    def test_assemble_streams_byte_identity(self, coder):
+        from lrf_tpu.models.container import dict_to_bytes
+
+        factors = self._factors()
+        b = factors[0].shape[0]
+        metadata = {"rank": [13, 6, 1], "dtype": "uint8"}
+        inner_mds = [
+            dict_to_bytes(
+                {"num_fibers": f.shape[2], "mode": "col", "dtype": "int8"}
+            )
+            for f in factors
+        ]
+        got = fibercodec.assemble_streams(
+            factors, b,
+            [f.shape[1] for f in factors],
+            [f.shape[2] for f in factors],
+            dict_to_bytes(metadata), inner_mds, coder[1], coder[0],
+        )
+        assert got is not None
+        expected = self._layered(factors, metadata, coder)
+        assert got == expected
+
+    def test_assembled_streams_decode(self):
+        # full-pipeline check: the fused container parses back to the
+        # exact factor values with the stock decoder machinery
+        from lrf_tpu.models.container import (
+            bytes_to_dict,
+            decode_matrix,
+            dict_to_bytes,
+            separate_bytes,
+        )
+
+        factors = self._factors(b=3, seed=11)
+        b = factors[0].shape[0]
+        metadata = {"x": 1}
+        inner_mds = [
+            dict_to_bytes(
+                {"num_fibers": f.shape[2], "mode": "col", "dtype": "int8"}
+            )
+            for f in factors
+        ]
+        streams = fibercodec.assemble_streams(
+            factors, b,
+            [f.shape[1] for f in factors],
+            [f.shape[2] for f in factors],
+            dict_to_bytes(metadata), inner_mds, 9, "zlib",
+        )
+        for i, stream in enumerate(streams):
+            md_b, enc_factors = separate_bytes(stream, 2)
+            assert bytes_to_dict(md_b) == metadata
+            blobs = separate_bytes(enc_factors, len(factors))
+            for k, blob in enumerate(blobs):
+                np.testing.assert_array_equal(
+                    decode_matrix(blob), factors[k][i]
+                )
+
+    def test_dpack_assemble_matches_serialize_batch(self):
+        # the fused entropy-mode serializer against the layered
+        # _serialize_batch path, on real encode pipeline output
+        import jax
+
+        from lrf_tpu.parallel import encode as enc
+        from lrf_tpu.parallel.mesh import make_mesh
+
+        # smooth batch: random noise's extreme deltas overflow the entropy
+        # budget by design (the flat fallback covers it); the fused-path
+        # byte check wants the entropy transport to engage
+        yy, xx = np.mgrid[0:48, 0:64]
+        batch = np.stack(
+            [
+                np.stack([(xx * 2 + yy + 17 * i) % 256 for _ in range(3)])
+                for i in range(6)
+            ]
+        ).astype(np.uint8)
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        fn, metadata, spec = enc.build_sharded_encoder(
+            mesh, (48, 64), quality=20, batch=6, pack="entropy"
+        )
+        out = fn(jax.numpy.asarray(batch))
+        host_out = enc._fetch_encoded(out, spec)
+        fused = enc._serialize_batch(host_out, spec, metadata, 6)
+
+        # layered reference: force the non-native assembly by nulling the
+        # fused entries
+        orig_a = fibercodec.assemble_streams
+        orig_d = fibercodec.dpack_assemble_streams
+        try:
+            fibercodec.assemble_streams = lambda *a, **k: None
+            fibercodec.dpack_assemble_streams = lambda *a, **k: None
+            layered = enc._serialize_batch(host_out, spec, metadata, 6)
+        finally:
+            fibercodec.assemble_streams = orig_a
+            fibercodec.dpack_assemble_streams = orig_d
+        assert fused == layered
+
+    def test_flat_mode_fused_matches(self):
+        import jax
+
+        from lrf_tpu.parallel import encode as enc
+        from lrf_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(9)
+        batch = rng.integers(0, 256, (4, 3, 48, 64)).astype(np.uint8)
+        mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+        fn, metadata, spec = enc.build_sharded_encoder(
+            mesh, (48, 64), quality=20, batch=4, pack="flat"
+        )
+        out = fn(jax.numpy.asarray(batch))
+        host_out = enc._fetch_encoded(out, spec)
+        fused = enc._serialize_batch(host_out, spec, metadata, 4)
+        orig_a = fibercodec.assemble_streams
+        try:
+            fibercodec.assemble_streams = lambda *a, **k: None
+            layered = enc._serialize_batch(host_out, spec, metadata, 4)
+        finally:
+            fibercodec.assemble_streams = orig_a
+        assert fused == layered
