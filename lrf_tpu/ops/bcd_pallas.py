@@ -59,6 +59,22 @@ slices off).
 
 Semantics match `lrf/factorization/qmf.py:107-126` (sequential Gauss-Seidel
 order preserved; round-half-to-even + clamp projection).
+
+STATUS (round-5 decision, per `experiments/pallas_evidence.json` — the
+single source of truth for the auto policy): these kernels are the
+**large-M engine**. At CLIC-scale stacks (M >= the 16384 crossover) they
+win 1.04-1.60x over XLA and `backend="auto"` selects them. Below the
+crossover the group kernel is a **recorded negative result**: despite the
+round-4 redesign it measures only 0.97-1.12x at Kodak stacks (M=6144,
+r=6-26), because a sub-128-row MXU matmul costs K*M cycles regardless of
+row count — the group trick converts 1-row GEMVs into 8-row matmuls whose
+FLOP waste is paid in full, so there is no headroom left at that shape.
+Auto therefore keeps XLA below the crossover, which also preserves
+byte-identity with per-image `qmf_encode` (Pallas accumulation order
+flips ~4% of factor entries at round() ties; the large-M contract
+explicitly trades that away — see `sharded_qmf_encode_batch`). The
+sub-crossover variant remains tested and selectable via
+`backend="pallas"` for experimentation.
 """
 
 from __future__ import annotations
