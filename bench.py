@@ -372,6 +372,36 @@ def main():
     dev_mpix_s = mpix / dev_ms * 1000
     log(f"device-only encode: {dev_ms:.1f} ms/batch ({dev_mpix_s:.0f} Mpixel/s)")
 
+    # Secondary: the opt-in randomized init's device-only rate (round-5
+    # eigh-floor work; different-but-bounded bytes, so it is NOT the
+    # headline path — see roofline.json eigh_floor).
+    enc_fast, _, _ = build_sharded_encoder(
+        mesh, (H, W), quality=QUALITY, batch=BATCH, init="fast"
+    )
+
+    @jax.jit
+    def probe_fast(x):
+        def body(i, acc):
+            y = enc_fast(jnp.roll(x, i, axis=-1))
+            chunks = y if isinstance(y, tuple) else (y,)
+            for c in chunks:
+                acc = acc + jnp.sum(c.astype(jnp.uint32) & jnp.uint32(1))
+            return acc
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+    float(probe_fast(device_batch))
+    fast_ms = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(probe_fast(device_batch))
+        fast_ms = min(fast_ms, (time.perf_counter() - t0) / reps * 1000)
+    fast_mpix_s = mpix / fast_ms * 1000
+    log(
+        f"device-only encode (init='fast'): {fast_ms:.1f} ms/batch "
+        f"({fast_mpix_s:.0f} Mpixel/s)"
+    )
+
     # ---- encode transport accounting + weather guard
     payload = sum(map(len, streams))
     from lrf_tpu.ops.entropy import ROW_WORDS
@@ -559,6 +589,7 @@ def main():
                 "ab_flat": round(rate_flat, 1),
                 # ---- the stable decomposition (weather-independent record)
                 "device_only_mpix_s": round(dev_mpix_s, 1),
+                "device_only_fast_init_mpix_s": round(fast_mpix_s, 1),
                 "wire_mb_per_batch": round(wire / 1e6, 3),
                 "achieved_d2h_mb_s": round(achieved_d2h, 1),
                 "tunnel_d2h_probe_mb_s": round(d2h_probe, 1),

@@ -303,6 +303,12 @@ def main():
             "tunnel_d2h_ceiling_mb_s",
             "clic_scale_pipeline_mpix_s",
             "clic_scale_note",
+            # round-5 sections, maintained by their own scripts
+            # (profile_clic.py, profile_serializer.py + hand-pinned
+            # attempt matrices) — regeneration must not drop them
+            "clic",
+            "serializer",
+            "eigh_floor",
         ):
             if k in old and k not in out:
                 out[k] = old[k]
