@@ -264,27 +264,32 @@ def main():
             f"Measured device-only rate {measured:.0f} Mpix/s sits at "
             f"{measured / hbm_c * 100:.0f}% of the HBM-bound ceiling and "
             f"{measured / mxu_c * 100:.1f}% of the MXU bound: the workload "
-            f"is bound by neither — the round-4 stage profile attributes "
+            f"is bound by neither — the stage profile attributes "
             f"the device time chiefly to the SVD init's batched 64x64 "
             f"eigh (~0.2 ms/matrix, batch-linear; XLA's Jacobi schedule), "
             f"with the BCD sweeps at ~6 ms and transforms ~7 ms per "
-            f"64-batch. A cheaper init was attempted and rejected "
-            f"(f32 subspace iteration collapses; cholesky/qr carry ~3 ms "
-            f"per-op floors); a batched-GEMM Jacobi eigh kernel is the "
-            f"remaining avenue. Pixels/s is therefore the honest metric "
+            f"64-batch. The eigh_floor section holds the full attempt "
+            f"matrix for replacing it: every byte-preserving scheme "
+            f"measured slower in-program or f32-accuracy-limited, so this "
+            f"is the byte-exact path's structural floor; the opt-in "
+            f"randomized init (init='fast') reaches 1124 Mpix/s "
+            f"device-only with pinned low-rank RD bounds. Pixels/s is "
+            f"therefore the honest metric "
             f"(the MFU framing would read ~{measured / mxu_c * 100:.1f}%). "
         )
     if args.delivered and measured:
         attribution += (
             f"The delivered pipeline rate {args.delivered:.0f} Mpix/s is "
             f"{args.delivered / measured * 100:.0f}% of device-only. The "
-            f"binding constraint is the 2-core HOST, not the wire: with "
-            f"the serializer stage removed the transport+device path "
-            f"sustains 470-563 Mpix/s (experiments/transport_tuning.json) "
-            f"— the deflate workers and the tunnel I/O contend for the "
-            f"same two cores. A production host (>=8 cores) would not pay "
-            f"this; a locally-attached TPU would also drop the tunnel's "
-            f"per-piece round trips."
+            f"binding constraint is the 2-core HOST plus tunnel wire: "
+            f"fetch-only sustains 470-563 Mpix/s "
+            f"(experiments/transport_tuning.json) and the round-5 fused "
+            f"native serializer (see the serializer section: 36 -> 27 "
+            f"ms/batch64, residual is raw libdeflate compute) closed most "
+            f"of the host gap — the deflate workers and the tunnel I/O "
+            f"still contend for the same two cores. A production host "
+            f"(>=8 cores) would not pay this; a locally-attached TPU "
+            f"would also drop the tunnel's per-piece round trips."
         )
     out["attribution"] = attribution
 
