@@ -731,7 +731,9 @@ int lrf_dpack_encode(const int8_t* const* factor_bufs, int64_t n_factors,
   for (int64_t s = 0; s < alphabet; ++s)
     if (lens[s] > max_len) max_len = lens[s];
   // chunk_rows_out is uint8: the worst-case rows/chunk must fit
-  if ((chunk * max_len - main_bits + row_bits - 1) / row_bits > 255) return 3;
+  const int64_t worst_rows =
+      (chunk * max_len - main_bits + row_bits - 1) / row_bits;
+  if (worst_rows > 255) return 3;
   std::vector<int> seg_bad;
   // segment table: (factor, image) -> first chunk id
   std::vector<int64_t> seg_factor, seg_image, seg_chunk0;
@@ -749,61 +751,29 @@ int lrf_dpack_encode(const int8_t* const* factor_bufs, int64_t n_factors,
   const int64_t n_segments = static_cast<int64_t>(seg_factor.size());
   seg_bad.assign(static_cast<size_t>(n_segments), 0);
 
-  // pass 1: per-chunk bit counts -> row counts (parallel over segments)
+  // SINGLE emit pass (round-5: the original two-pass form — count bits,
+  // then re-walk every value to emit — was the dominant host cost of the
+  // dpack decode upload at 17.3 ms/batch64): each chunk's bits are built
+  // once in a register; main words go straight to main_out (fixed slots),
+  // continuation words go to a per-chunk worst-case staging area, and a
+  // cheap serial cumsum + parallel memcpy compacts them into the dense
+  // exc layout afterwards. Values are read through a per-segment
+  // transposed block so the walk is sequential (the (ri*m + mi) form
+  // strides by m every value).
+  std::vector<uint32_t> stage(
+      static_cast<size_t>(c_total * worst_rows * row_words));
   parallel_for(n_segments, [&](int64_t si) {
     const int64_t k = seg_factor[static_cast<size_t>(si)];
     const int64_t bi = seg_image[static_cast<size_t>(si)];
     const int64_t m = ms[k], r = rs[k], per = m * r;
     const int8_t* buf = factor_bufs[k] + bi * r * m;
-    std::vector<int32_t> run(static_cast<size_t>(r), 0);
-    int64_t cid = seg_chunk0[static_cast<size_t>(si)];
-    int64_t bits = 0, in_chunk = 0;
-    // m-major walk without per-value div/mod (measured: the v/r, v%r
-    // form cost ~30 ms/batch64 on this host)
-    int64_t mi = 0, ri = 0;
-    const int64_t padded = ((per + chunk - 1) / chunk) * chunk;
-    for (int64_t v = 0; v < padded; ++v) {
-      int32_t zz = 0;
-      if (v < per) {
-        const int32_t x = buf[ri * m + mi];
-        const int32_t d = x - run[static_cast<size_t>(ri)];
-        run[static_cast<size_t>(ri)] = x;
-        zz = d >= 0 ? 2 * d : -2 * d - 1;
-        if (zz >= alphabet) {  // delta outside the static code's alphabet
-          seg_bad[static_cast<size_t>(si)] = 1;
-          zz = 0;
-        }
-        if (++ri == r) {
-          ri = 0;
-          ++mi;
-        }
-      }
-      bits += lens[zz];
-      if (++in_chunk == chunk) {
-        const int64_t rows =
-            bits > main_bits ? (bits - main_bits + row_bits - 1) / row_bits : 0;
-        chunk_rows_out[cid++] = static_cast<uint8_t>(rows);
-        bits = 0;
-        in_chunk = 0;
-      }
+    thread_local std::vector<int8_t> tr;  // (m, r) value-order transpose
+    if (tr.size() < static_cast<size_t>(per)) tr.resize(per);
+    for (int64_t ri = 0; ri < r; ++ri) {
+      const int8_t* src = buf + ri * m;
+      int8_t* dst = tr.data() + ri;
+      for (int64_t mi = 0; mi < m; ++mi) dst[mi * r] = src[mi];
     }
-  });
-  // global row bases (exclusive cumsum over all chunks, chunk order)
-  std::vector<int64_t> base(static_cast<size_t>(c_total) + 1, 0);
-  for (int64_t c = 0; c < c_total; ++c)
-    base[static_cast<size_t>(c) + 1] =
-        base[static_cast<size_t>(c)] + chunk_rows_out[c];
-  *n_rows_out = base[static_cast<size_t>(c_total)];
-  if (*n_rows_out > max_rows_budget) return 1;
-  for (int bad : seg_bad)
-    if (bad) return 2;
-
-  // pass 2: emit bits (parallel over segments; disjoint output ranges)
-  parallel_for(n_segments, [&](int64_t si) {
-    const int64_t k = seg_factor[static_cast<size_t>(si)];
-    const int64_t bi = seg_image[static_cast<size_t>(si)];
-    const int64_t m = ms[k], r = rs[k], per = m * r;
-    const int8_t* buf = factor_bufs[k] + bi * r * m;
     std::vector<int32_t> run(static_cast<size_t>(r), 0);
     int64_t cid = seg_chunk0[static_cast<size_t>(si)];
     // chunk register: worst case chunk * max_len bits (max_len from
@@ -814,20 +784,20 @@ int lrf_dpack_encode(const int8_t* const* factor_bufs, int64_t n_factors,
         (static_cast<size_t>(chunk) * static_cast<size_t>(max_len) + 31) / 32 +
         2);
     std::fill(reg.begin(), reg.end(), 0u);
-    int64_t bitpos = 0, in_chunk = 0, mi = 0, ri = 0;
+    int64_t bitpos = 0, in_chunk = 0, ri = 0;
     const int64_t padded = ((per + chunk - 1) / chunk) * chunk;
     for (int64_t v = 0; v < padded; ++v) {
       int32_t zz = 0;
       if (v < per) {
-        const int32_t x = buf[ri * m + mi];
+        const int32_t x = tr[static_cast<size_t>(v)];
         const int32_t d = x - run[static_cast<size_t>(ri)];
         run[static_cast<size_t>(ri)] = x;
         zz = d >= 0 ? 2 * d : -2 * d - 1;
-        if (zz >= alphabet) zz = 0;  // pass 1 already flagged the segment
-        if (++ri == r) {
-          ri = 0;
-          ++mi;
+        if (zz >= alphabet) {  // delta outside the static code's alphabet
+          seg_bad[static_cast<size_t>(si)] = 1;
+          zz = 0;
         }
+        if (++ri == r) ri = 0;
       }
       const uint32_t code = codes[zz];
       const int32_t len = lens[zz];
@@ -841,14 +811,40 @@ int lrf_dpack_encode(const int8_t* const* factor_bufs, int64_t n_factors,
         uint32_t* mp = main_out + cid * main_words;
         for (int64_t j = 0; j < main_words; ++j)
           mp[j] = reg[static_cast<size_t>(j)];
-        const int64_t rows = chunk_rows_out[cid];
-        uint32_t* ep = exc_out + base[static_cast<size_t>(cid)] * row_words;
+        const int64_t rows = bitpos > main_bits
+                                 ? (bitpos - main_bits + row_bits - 1) / row_bits
+                                 : 0;
+        chunk_rows_out[cid] = static_cast<uint8_t>(rows);
+        uint32_t* sp = stage.data() + cid * worst_rows * row_words;
         for (int64_t j = 0; j < rows * row_words; ++j)
-          ep[j] = reg[static_cast<size_t>(main_words + j)];
+          sp[j] = reg[static_cast<size_t>(main_words + j)];
         std::fill(reg.begin(), reg.end(), 0u);
         bitpos = 0;
         ++cid;
       }
+    }
+  });
+  // global row bases (exclusive cumsum over all chunks, chunk order)
+  std::vector<int64_t> base(static_cast<size_t>(c_total) + 1, 0);
+  for (int64_t c = 0; c < c_total; ++c)
+    base[static_cast<size_t>(c) + 1] =
+        base[static_cast<size_t>(c)] + chunk_rows_out[c];
+  *n_rows_out = base[static_cast<size_t>(c_total)];
+  if (*n_rows_out > max_rows_budget) return 1;
+  for (int bad : seg_bad)
+    if (bad) return 2;
+  // compact the staged continuation rows into the dense exc layout
+  parallel_for(n_segments, [&](int64_t si) {
+    const int64_t k = seg_factor[static_cast<size_t>(si)];
+    const int64_t per = ms[k] * rs[k];
+    const int64_t chunks = (per + chunk - 1) / chunk;
+    const int64_t c0 = seg_chunk0[static_cast<size_t>(si)];
+    for (int64_t c = c0; c < c0 + chunks; ++c) {
+      const int64_t rows = chunk_rows_out[c];
+      if (rows)
+        std::memcpy(exc_out + base[static_cast<size_t>(c)] * row_words,
+                    stage.data() + c * worst_rows * row_words,
+                    static_cast<size_t>(rows * row_words) * 4);
     }
   });
   return 0;
