@@ -580,19 +580,22 @@ int lrf_dpack_decode_segments(const uint8_t* main, const uint8_t* exc,
 // 0 ok, 1 out_cap too small, other nonzero = compression failure.
 int lrf_assemble_streams(const int8_t* const* factor_bufs, int64_t n_factors,
                          int64_t b, const int64_t* ms, const int64_t* rs,
-                         const uint8_t* metadata, int64_t metadata_len,
+                         int64_t cap, const uint8_t* metadata,
+                         int64_t metadata_len,
                          const uint8_t* inner_md_concat,
                          const int64_t* inner_md_lens, int level, int backend,
                          uint8_t* out, int64_t out_cap,
                          int64_t* stream_lens) {
-  int64_t max_m = 0, total_fibers = 0;
+  int64_t total_fibers = 0;
   std::vector<int64_t> fiber_base(static_cast<size_t>(n_factors));
   for (int64_t k = 0; k < n_factors; ++k) {
     fiber_base[static_cast<size_t>(k)] = total_fibers;
     total_fibers += b * rs[k];
-    if (ms[k] > max_m) max_m = ms[k];
   }
-  const int64_t cap = max_m + max_m / 8 + 128;
+  // per-fiber blob capacity is supplied by the caller (single source of
+  // truth in fibercodec.py: the Python out_cap bound uses the same
+  // value); an undersized cap fails compression with Z_BUF_ERROR -> the
+  // caller falls back to the layered path, never corrupts
   std::vector<uint8_t> slots(static_cast<size_t>(total_fibers * cap));
   std::vector<int64_t> blob_lens(static_cast<size_t>(total_fibers));
   const int64_t n_segments = n_factors * b;
@@ -624,7 +627,8 @@ int lrf_assemble_streams(const int8_t* const* factor_bufs, int64_t n_factors,
 int lrf_dpack_assemble_streams(
     const uint8_t* main, const uint8_t* exc, int64_t n_exc_rows,
     const int64_t* seg_row_base, int64_t n_factors, int64_t b,
-    const int64_t* ms, const int64_t* rs, const int32_t* lens,
+    const int64_t* ms, const int64_t* rs, int64_t cap,
+    const int32_t* lens,
     const uint32_t* codes, int64_t alphabet, int64_t chunk,
     int64_t main_words, int64_t row_words, int64_t max_len,
     const uint8_t* metadata, int64_t metadata_len,
@@ -634,7 +638,7 @@ int lrf_dpack_assemble_streams(
   if (dpack_build_tables(lens, codes, alphabet, chunk, main_words, row_words,
                          max_len, &t) != 0)
     return -1;
-  int64_t max_m = 0, max_vals = 0, max_r = 0, total_fibers = 0;
+  int64_t max_vals = 0, max_r = 0, total_fibers = 0;
   std::vector<int64_t> fiber_base(static_cast<size_t>(n_factors));
   std::vector<int64_t> chunk0(static_cast<size_t>(n_factors));
   int64_t chk = 0;
@@ -643,11 +647,10 @@ int lrf_dpack_assemble_streams(
     chunk0[static_cast<size_t>(k)] = chk;
     total_fibers += b * rs[k];
     chk += b * ((ms[k] * rs[k] + chunk - 1) / chunk);
-    if (ms[k] > max_m) max_m = ms[k];
     if (ms[k] * rs[k] > max_vals) max_vals = ms[k] * rs[k];
     if (rs[k] > max_r) max_r = rs[k];
   }
-  const int64_t cap = max_m + max_m / 8 + 128;
+  // cap: caller-supplied per-fiber capacity (see lrf_assemble_streams)
   std::vector<uint8_t> slots(static_cast<size_t>(total_fibers * cap));
   std::vector<int64_t> blob_lens(static_cast<size_t>(total_fibers));
   const int64_t n_segments = n_factors * b;

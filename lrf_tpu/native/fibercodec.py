@@ -155,6 +155,7 @@ def _load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,  # per-fiber blob capacity
             ctypes.c_char_p,
             ctypes.c_int64,
             ctypes.c_char_p,
@@ -175,6 +176,7 @@ def _load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,  # per-fiber blob capacity
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64,
@@ -463,15 +465,22 @@ def dpack_encode(
 _ASSEMBLE_BACKENDS = {"zlib": 0, "deflate": 1, "best": 2}
 
 
+def _fiber_cap(max_m: int) -> int:
+    """Per-fiber compressed-blob capacity, passed INTO the native
+    assemblers (the single definition — the C side allocates and bounds
+    with exactly this value, so the Python out_cap bound below can never
+    silently diverge from it)."""
+    return int(max_m) + int(max_m) // 8 + 128
+
+
 def _stream_capacity(
-    b: int, ms, rs, metadata_len: int, inner_md_lens
+    b: int, ms, rs, metadata_len: int, inner_md_lens, cap: int
 ) -> int:
     """Upper bound on the total bytes of b assembled streams (worst-case
-    incompressible fibers at the C side's per-fiber capacity)."""
+    incompressible fibers at `cap` bytes per fiber blob)."""
     n_factors = len(ms)
     per_image = 4 + metadata_len + 4 * (n_factors - 1)
     for m, r, mdl in zip(ms, rs, inner_md_lens):
-        cap = int(m) + int(m) // 8 + 128
         per_image += 4 + mdl + 4 * (int(r) - 1) + int(r) * cap
     return b * per_image
 
@@ -511,7 +520,8 @@ def assemble_streams(
     rs_arr = np.asarray(rs, dtype=np.int64)
     md_lens = np.asarray([len(m) for m in inner_mds], dtype=np.int64)
     md_concat = b"".join(inner_mds)
-    out_cap = _stream_capacity(b, ms, rs, len(metadata), md_lens)
+    cap = _fiber_cap(max(ms))
+    out_cap = _stream_capacity(b, ms, rs, len(metadata), md_lens, cap)
     out = np.empty(out_cap, dtype=np.uint8)
     stream_lens = np.empty(b, dtype=np.int64)
     rc = lib.lrf_assemble_streams(
@@ -520,6 +530,7 @@ def assemble_streams(
         b,
         ms_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         rs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
         metadata,
         len(metadata),
         md_concat,
@@ -569,7 +580,8 @@ def dpack_assemble_streams(
     codes32 = np.ascontiguousarray(codes, dtype=np.uint32)
     md_lens = np.asarray([len(m) for m in inner_mds], dtype=np.int64)
     md_concat = b"".join(inner_mds)
-    out_cap = _stream_capacity(b, ms, rs, len(metadata), md_lens)
+    cap = _fiber_cap(max(ms))
+    out_cap = _stream_capacity(b, ms, rs, len(metadata), md_lens, cap)
     out = np.empty(out_cap, dtype=np.uint8)
     stream_lens = np.empty(b, dtype=np.int64)
     rc = lib.lrf_dpack_assemble_streams(
@@ -581,6 +593,7 @@ def dpack_assemble_streams(
         b,
         ms_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         rs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
         lens32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         codes32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         len(lens32),

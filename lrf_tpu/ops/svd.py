@@ -189,7 +189,15 @@ def randomized_truncated_svd(
     for _ in range(2):  # regularized whitening, twice (CGS2-style)
         s_small = jnp.einsum("...nk,...nl->...kl", y, y)
         se, sw = jnp.linalg.eigh(s_small)
-        y = y @ (sw / jnp.sqrt(jnp.maximum(se, 1e-6 * se[..., -1:]))[..., None, :])
+        # relative clamp (whitening regularization) + absolute tiny floor:
+        # an all-zero stack (e.g. a black image's channel) has se == 0
+        # everywhere, and a purely relative clamp would divide by zero and
+        # poison the whole batch with NaNs (y is 0 there, so any finite
+        # inverse yields the correct zero factors)
+        floor = jnp.maximum(
+            1e-6 * se[..., -1:], jnp.finfo(x.dtype).tiny ** 0.5
+        )
+        y = y @ (sw / jnp.sqrt(jnp.maximum(se, floor))[..., None, :])
     b_small = jnp.einsum("...nk,...nm,...ml->...kl", y, g, y)
     lam, w = jnp.linalg.eigh(b_small)
     lam = jnp.flip(lam, axis=-1)[..., :r]

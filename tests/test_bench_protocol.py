@@ -351,3 +351,52 @@ class TestAttemptResume:
         fp1 = bench._source_fingerprint()
         fp2 = bench._source_fingerprint()
         assert fp1 == fp2 and len(fp1) == 16
+
+
+class TestDecodeLegSelection:
+    """Review finding (round 5): the published decode headline must carry
+    its OWN evidence — an unplateaued dpack rate must not be published as
+    clean on the strength of the flat leg's wire utilization."""
+
+    @staticmethod
+    def _select(dec_ab, mpix, h2d_probe):
+        # mirrors bench.main()'s leg-selection rule
+        def _leg_evidenced(name, leg):
+            if leg["plateaued"]:
+                return True
+            if name == "flat":
+                util = leg["wire_mb"] * leg["rate"] / mpix
+                return util >= 0.75 * h2d_probe
+            return False
+
+        evidenced = {k: v for k, v in dec_ab.items() if _leg_evidenced(k, v)}
+        pool = (
+            evidenced
+            or {k: v for k, v in dec_ab.items() if k == "flat"}
+            or dec_ab
+        )
+        return max(pool, key=lambda k: pool[k]["rate"])
+
+    def test_unplateaued_dpack_not_picked_over_evidenced_flat(self):
+        dec_ab = {
+            "flat": dict(rate=600.0, plateaued=False, wire_mb=2.0),
+            "dpack": dict(rate=700.0, plateaued=False, wire_mb=1.2),
+        }
+        # flat util = 2.0 * 600 / 25 = 48 MB/s >= 0.75 * 40 -> evidenced
+        assert self._select(dec_ab, 25.0, 40.0) == "flat"
+
+    def test_plateaued_dpack_wins(self):
+        dec_ab = {
+            "flat": dict(rate=600.0, plateaued=True, wire_mb=2.0),
+            "dpack": dict(rate=700.0, plateaued=True, wire_mb=1.2),
+        }
+        assert self._select(dec_ab, 25.0, 40.0) == "dpack"
+
+    def test_no_evidence_falls_back_to_flat(self):
+        dec_ab = {
+            "flat": dict(rate=300.0, plateaued=False, wire_mb=2.0),
+            "dpack": dict(rate=700.0, plateaued=False, wire_mb=1.2),
+        }
+        # flat util = 24 MB/s < 0.75 * 40: nothing evidenced -> flat, whose
+        # published flags then mark the attempt dirty
+        assert self._select(dec_ab, 25.0, 40.0) == "flat"

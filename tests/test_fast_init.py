@@ -127,3 +127,24 @@ class TestFastInitEncoder:
             build_sharded_encoder(
                 mesh, (96, 128), quality=10, batch=4, init="typo"
             )
+
+
+def test_fast_init_all_black_image_no_nan():
+    # review finding (round 5): an all-zero channel's Gram made the
+    # whitening divide by zero and poisoned the batch with NaNs; the
+    # absolute tiny floor must keep factors finite (zero) instead.
+    import jax
+
+    from lrf_tpu.models.qmf import qmf_decode
+    from lrf_tpu.parallel.encode import sharded_qmf_encode_batch
+    from lrf_tpu.parallel.mesh import make_mesh
+
+    batch = np.zeros((2, 3, 48, 64), np.uint8)
+    batch[1] = 128  # one black, one flat gray
+    mesh = make_mesh(data=1, patch=1, devices=jax.devices()[:1])
+    streams = sharded_qmf_encode_batch(batch, mesh, quality=10, init="fast")
+    for i, s in enumerate(streams):
+        out = qmf_decode(s)
+        assert out.shape == batch[i].shape
+        # a constant image must reconstruct near-exactly (zero AC energy)
+        assert float(np.abs(out.astype(np.int32) - batch[i]).max()) <= 2
