@@ -23,7 +23,8 @@ no sequential loops, no table gathers, no searchsorted:
 - the stream layout is **fixed main slot + fine-grained continuation
   rows**: every chunk owns MAIN_WORDS=4 words (128 bits = 2 b/v) of the
   main stream at a fixed stride (a static slice, no compaction); chunks
-  whose codes exceed 128 bits continue in ROW_WORDS=2-word rows, allocated
+  whose codes exceed 128 bits continue in ROW_WORDS-word rows (one word
+  since round 5 — finer rows waste less slack), allocated
   densely in chunk order. Row allocation is inverted on device with a
   linear scatter-max + running-max scan (`searchsorted` measures 10.7 ms
   at these sizes) + one small row gather. Only *used* rows are fetched;
@@ -47,7 +48,10 @@ import numpy as np
 
 CHUNK = 64  # values per chunk
 MAIN_WORDS = 4  # fixed per-chunk slot in the main stream (128 bits)
-ROW_WORDS = 2  # continuation-row granularity (64 bits)
+ROW_WORDS = 1  # continuation-row granularity (32 bits; round 5 — finer
+# rows cut the budget's quantization slack: at the bench batch the wire
+# drops 1.087 -> 0.985 MB (-9.4%) for identical content bits, measured
+# over the geometry grid {CHUNK, MAIN_WORDS, ROW_WORDS} on real factors)
 
 # Zigzag-ordered delta histogram (zz=0 -> delta 0, 1 -> -1, 2 -> +1, ...),
 # collected over the in-repo demo + local7 images' QMF factors at qualities
@@ -207,13 +211,16 @@ def segment_ranks(shapes):
 
 
 def default_exc_rows(c_total: int) -> int:
-    """Continuation-row budget: 1.125 rows/chunk. The whole budget transfers
-    (the transport is one eagerly-fetched buffer — a data-dependent
-    used-rows-only fetch would add a serialized tunnel round trip per batch,
-    measured ~3x slower end-to-end), so the budget is sized to typical usage
-    (~0.6 rows/chunk on the corpus, ~0.85 on the bench batch) plus margin;
-    callers fall back to flat packing on the rare batch that exceeds it."""
-    return c_total + (c_total >> 3) + 64
+    """Continuation-row budget: 2.25 rows/chunk at the 32-bit row size.
+    The whole budget transfers (the transport is one eagerly-fetched
+    buffer — a data-dependent used-rows-only fetch would add a serialized
+    tunnel round trip per batch, measured ~3x slower end-to-end), so the
+    budget is sized to typical usage (~1.15 rows/chunk on the bench
+    batch, up to ~1.7 on higher-quality data) plus margin — the adaptive
+    budget (`parallel/encode._observe_entropy_rows`) then shrinks it to
+    the observed p99 in-run; callers fall back to flat packing on the
+    rare batch that exceeds it."""
+    return 2 * c_total + (c_total >> 2) + 64
 
 
 def _encode_symbols(zz):
