@@ -293,12 +293,24 @@ def _inflate_pack_native(per_factor, metadata, b: int, single_device: bool):
             _entropy.CHUNK, _entropy.MAIN_WORDS, _entropy.ROW_WORDS, budget,
         )
         if out is not None:
-            main, exc, chunk_rows, _n_rows = out
+            main, exc, chunk_rows, n_rows = out
             rows_words = -(-c_total // 4)
             rows_u8 = np.zeros(rows_words * 4, np.uint8)
             rows_u8[:c_total] = chunk_rows
+            # The host encoder knows the exact used-row count BEFORE the
+            # upload, so ship only the used rows rounded up to a 4096-row
+            # bucket (round 5: the full static budget carried ~2x the
+            # used rows as dead wire on the H2D upload). The device
+            # decoder's input shape is the bucketed size — one compiled
+            # program per bucket actually seen, served by the jit cache.
+            bucket = 4096
+            upload_rows = min(budget, -(-max(n_rows, 1) // bucket) * bucket)
             upload = np.concatenate(
-                [rows_u8.view(np.uint32), main, exc]
+                [
+                    rows_u8.view(np.uint32),
+                    main,
+                    exc[: upload_rows * _entropy.ROW_WORDS],
+                ]
             )
             _PACK_DECISIONS.setdefault(config_key, True)
             return (
@@ -306,7 +318,7 @@ def _inflate_pack_native(per_factor, metadata, b: int, single_device: bool):
                 metadata,
                 tuple(shapes),
                 "int8",
-                ("dpack", b, budget),
+                ("dpack", b, upload_rows),
             )
     packed = _native.pack_values(raws, b, ms, rs, lo, bits)
     if packed is None:  # out-of-bounds value: unpacked fallback (slow path)
