@@ -46,8 +46,10 @@ from __future__ import annotations
 
 import numpy as np
 
-CHUNK = 64  # values per chunk
-MAIN_WORDS = 4  # fixed per-chunk slot in the main stream (128 bits)
+CHUNK = 128  # values per chunk (round 5: 128-value chunks halve the
+# per-chunk tail slack relative to the row budget — wire 0.985 -> 0.938
+# MB/batch64 on the geometry grid measured over real bench factors)
+MAIN_WORDS = 7  # fixed per-chunk slot in the main stream (224 bits ~ 1.75 b/v)
 ROW_WORDS = 1  # continuation-row granularity (32 bits; round 5 — finer
 # rows cut the budget's quantization slack: at the bench batch the wire
 # drops 1.087 -> 0.985 MB (-9.4%) for identical content bits, measured
@@ -211,16 +213,17 @@ def segment_ranks(shapes):
 
 
 def default_exc_rows(c_total: int) -> int:
-    """Continuation-row budget: 2.25 rows/chunk at the 32-bit row size.
-    The whole budget transfers (the transport is one eagerly-fetched
-    buffer — a data-dependent used-rows-only fetch would add a serialized
-    tunnel round trip per batch, measured ~3x slower end-to-end), so the
-    budget is sized to typical usage (~1.15 rows/chunk on the bench
-    batch, up to ~1.7 on higher-quality data) plus margin — the adaptive
-    budget (`parallel/encode._observe_entropy_rows`) then shrinks it to
-    the observed p99 in-run; callers fall back to flat packing on the
-    rare batch that exceeds it."""
-    return 2 * c_total + (c_total >> 2) + 64
+    """Continuation-row budget: 4.5 rows/chunk at the 128-value-chunk /
+    32-bit-row geometry (measured bench usage ~2.7 rows/chunk, ~1.65x
+    headroom for higher-quality data). On the encode direction the whole
+    budget transfers until the adaptive shrink tightens it to the
+    observed p99 in-run (`parallel/encode._observe_entropy_rows`; a
+    data-dependent used-rows-only fetch would add a serialized tunnel
+    round trip per batch, measured ~3x slower end-to-end); the decode
+    direction ships only used rows (bucketed), so its generosity is
+    free. Callers fall back to flat packing on the rare batch that
+    exceeds it."""
+    return 4 * c_total + (c_total >> 1) + 64
 
 
 def _encode_symbols(zz):
