@@ -5,7 +5,7 @@ pipeline's bottleneck: a flat 5-bit pack moves 0.625 B/value while the
 factors carry ~3 bits/value of raw entropy — and only ~1.9 bits/value after
 a spatial delta (factor columns are smooth patch-index maps; measured over
 a 2M-value corpus of demo/local7 factors at qualities 5-40). This module
-packs factors to ~2.6 bits/value ON DEVICE with pure VPU/MXU-friendly ops —
+packs factors to ~2.5 bits/value ON DEVICE with pure VPU/MXU-friendly ops —
 no sequential loops, no table gathers, no searchsorted:
 
 - **delta transform**: each (B, M, R) factor is differenced along the patch
@@ -17,15 +17,16 @@ no sequential loops, no table gathers, no searchsorted:
   the corpus: < 0.0001 b/v). Monotone lengths make code length AND code
   word staircase functions of `zz`, computed with ~10 compares instead of
   1.1M-element table gathers (which cost ~7 ms on TPU);
-- values are grouped into chunks of CHUNK=64; each chunk's codes are
+- values are grouped into chunks of CHUNK=128; each chunk's codes are
   concatenated into a REG_WORDS register file by a word-unrolled one-pass
   masked reduction (no fori_loop, ~3 ms for 1.1M values at bench shapes);
 - the stream layout is **fixed main slot + fine-grained continuation
-  rows**: every chunk owns MAIN_WORDS=4 words (128 bits = 2 b/v) of the
-  main stream at a fixed stride (a static slice, no compaction); chunks
-  whose codes exceed 128 bits continue in ROW_WORDS-word rows (one word
-  since round 5 — finer rows waste less slack), allocated
-  densely in chunk order. Row allocation is inverted on device with a
+  rows**: every chunk owns MAIN_WORDS=7 words (224 bits ~ 1.75 b/v) of
+  the main stream at a fixed stride (a static slice, no compaction);
+  chunks whose codes exceed the slot continue in single-word (32-bit)
+  continuation rows, allocated densely in chunk order — the round-5
+  geometry, picked from a measured {CHUNK, MAIN_WORDS, ROW_WORDS} grid
+  on real bench factors (wire 1.087 -> 0.938 MB/batch64). Row allocation is inverted on device with a
   linear scatter-max + running-max scan (`searchsorted` measures 10.7 ms
   at these sizes) + one small row gather. Only *used* rows are fetched;
 - a per-segment int32 row-base table lets the host decode segments (one
