@@ -109,7 +109,7 @@ raws = [
     .astype(np.int8)
 ]
 shapes = [(2, 300, 6)]
-budget = E.default_exc_rows(2 * (-(-1800 // 64)))
+budget = E.default_exc_rows(2 * (-(-1800 // E.CHUNK)))
 main, exc, cr, nr = m.dpack_encode(
     raws, 2, [300], [6], E.LENS, E.CODES, E.CHUNK, E.MAIN_WORDS,
     E.ROW_WORDS, budget,

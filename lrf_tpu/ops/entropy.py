@@ -259,7 +259,8 @@ def pack_segments(factors, max_exc_rows=None):
         exceeds `max_exc_rows` (default `default_exc_rows`), `exc` is
         truncated and the pack is unusable — the caller must fall back
         (e.g. to the flat 5-bit pack);
-      - `main`: uint32 (C * MAIN_WORDS) — fixed 4-word slot per chunk;
+      - `main`: uint32 (C * MAIN_WORDS) — fixed MAIN_WORDS-word slot per
+        chunk (7 words / 224 bits at the shipped geometry);
       - `exc`: uint32 (max_exc_rows * ROW_WORDS); only rows
         [0, seg_row_base[-1]) carry data.
     """

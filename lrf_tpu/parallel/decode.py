@@ -43,6 +43,10 @@ __all__ = ["sharded_qmf_decode_batch", "sharded_qmf_decode_batches"]
 
 # Per-config (metadata signature) bit-pack decisions — see _inflate_streams.
 _PACK_DECISIONS: dict = {}
+# Per-config sticky dpack upload bucket (max 4096-row bucket seen), so the
+# device decoder's input shape — and thus its compiled program — is stable
+# across batches; see _inflate_pack_native.
+_DPACK_BUCKETS: dict = {}
 
 
 def _decode_transport() -> str:
@@ -275,13 +279,14 @@ def _inflate_pack_native(per_factor, metadata, b: int, single_device: bool):
         # (`ops.entropy.unpack_chunks_device`). Falls through to the flat
         # pack on budget overflow or out-of-alphabet deltas (iters=0
         # streams). Single-device meshes only: the chunk stream interleaves
-        # images, so it has no batch axis to shard. NOT the default:
-        # interleaved A/B on the tunnel-attached v5e measured it at parity
-        # with the flat pack (median 569 vs 565 Mpix/s over 5 rounds - the
-        # 2.0 -> 1.22 MB wire saving is offset by the ~12 ms host encode
-        # and the device decode scan); it wins when the host->device link
-        # is the binding constraint (slower links, larger batches), so it
-        # ships opt-in via LRF_TPU_DECODE_TRANSPORT=dpack.
+        # images, so it has no batch axis to shard. NOT the hard default:
+        # the winner flips with tunnel weather, so bench.py runs a
+        # flat-vs-dpack A/B every run and publishes both legs — on the
+        # round-5 stack (single-pass host encoder ~12.7 ms, used-rows-only
+        # bucketed upload ~0.94 MB vs flat's 2.0) dpack won four of five
+        # healthy-H2D supervisor runs (596-693 vs 483-670 Mpix/s;
+        # experiments/bench_repro.json runs K-P). Library callers opt in
+        # via LRF_TPU_DECODE_TRANSPORT=dpack.
         from lrf_tpu.ops import entropy as _entropy
 
         c_total = sum(
@@ -300,11 +305,19 @@ def _inflate_pack_native(per_factor, metadata, b: int, single_device: bool):
             # The host encoder knows the exact used-row count BEFORE the
             # upload, so ship only the used rows rounded up to a 4096-row
             # bucket (round 5: the full static budget carried ~2x the
-            # used rows as dead wire on the H2D upload). The device
-            # decoder's input shape is the bucketed size — one compiled
-            # program per bucket actually seen, served by the jit cache.
+            # used rows as dead wire on the H2D upload). The bucket is
+            # STICKY per config — the max bucket this config has needed —
+            # so the decoder compiles once per config in steady state and
+            # only re-traces on genuine growth (a per-batch bucket would
+            # recompile, minutes on the tunnel, whenever consecutive
+            # batches straddle a boundary; rows past n_rows are never
+            # read by the device decoder, so padding to the sticky bucket
+            # is free correctness-wise).
             bucket = 4096
-            upload_rows = min(budget, -(-max(n_rows, 1) // bucket) * bucket)
+            needed = -(-max(n_rows, 1) // bucket) * bucket
+            sticky = max(needed, _DPACK_BUCKETS.get(config_key, 0))
+            _DPACK_BUCKETS[config_key] = sticky
+            upload_rows = min(budget, sticky)
             upload = np.concatenate(
                 [
                     rows_u8.view(np.uint32),
